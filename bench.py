@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: end-to-end VO replay throughput on the current device.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Protocol (BASELINE.md): benchmark config c1 workload (10-frame synthetic
+sequence, 512 feature slots, full jitted pipeline: stereo match -> triangulate
+-> temporal match -> vmapped RANSAC (rigid + essential) -> bearing refine),
+replayed via lax.scan. One warm-up call (compile excluded), then the median of
+>= 5 timed replays. `vs_baseline` is value / 30 frames/s -- the reference runs
+"near-real-time" on CPU per its papers (SURVEY.md section 6; no exact published
+number is retrievable in this environment, see BASELINE.md), so 30 fps is the
+provisional reference-parity anchor.
+"""
+
+import json
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.eval.ate import ate_rmse
+from sosvo.sensor.rig import default_rig
+from sosvo.synth.scene import make_scene, observe_sequence
+from sosvo.utils.config import PipelineConfig
+from sosvo.vo.pipeline import run_replay
+from sosvo.vo.state import init_track_state
+
+N_FRAMES = 10
+K = 512
+BASELINE_FPS = 30.0  # provisional anchor: reference's "near-real-time" CPU rate
+
+
+def main() -> None:
+    rig = default_rig()
+    scene = make_scene(jax.random.PRNGKey(0), n_frames=N_FRAMES, n_landmarks=4096)
+    obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
+                           pixel_noise=0.3, desc_flip_prob=0.02)
+    cfg = PipelineConfig()
+    state = init_track_state(K, jax.random.PRNGKey(2), T0=scene.poses[0])
+
+    replay = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))
+    final, outs = jax.block_until_ready(replay(state, obs))  # warm-up/compile
+
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(replay(state, obs))
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    fps = N_FRAMES / med
+
+    # Sanity gate: the benchmark only counts if the pipeline actually tracks.
+    rmse, _ = ate_rmse(outs.T_world[1:, :3, 3], scene.poses[1:, :3, 3])
+    assert float(rmse) < 0.08, f"pipeline lost track during bench: ATE={float(rmse)}"
+
+    print(json.dumps({
+        "metric": "vo_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

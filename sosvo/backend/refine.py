@@ -1,0 +1,100 @@
+"""Nonlinear pose refinement on SE(3), fixed-iteration Gauss-Newton/LM.
+
+TPU-native replacement for the reference's `scipy.optimize.least_squares`
+pose refinement (SURVEY.md C12: refine the RANSAC-inlier pose by minimizing
+spherical reprojection error [P1]). Idiomatic JAX: lift-solve-retract on the
+SE(3) tangent, Jacobians by autodiff (jacfwd over the 6-dim tangent), a fixed
+number of damped iterations inside `lax.fori_loop` -- no data-dependent
+control flow, jits and vmaps cleanly (e.g. over batched sequences,
+BASELINE.json:10).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.geom.lie import se3_exp, transform_points
+
+
+def bearing_residuals(T: jnp.ndarray, pts_prev: jnp.ndarray, rays_curr: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) spherical reprojection residuals: direction(T X_prev) - ray_curr.
+
+    The unit-vector difference is a well-conditioned small-angle proxy for the
+    angular error (|d| = 2 sin(angle/2)) and keeps the residual smooth through
+    autodiff (SURVEY.md C12 "spherical reprojection error").
+    """
+    pred = transform_points(T, pts_prev)
+    d = pred / jnp.maximum(jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-9)
+    return d - rays_curr
+
+
+def refine_pose_bearings(
+    T_init: jnp.ndarray,
+    pts_prev: jnp.ndarray,
+    rays_curr: jnp.ndarray,
+    weights: jnp.ndarray,
+    iters: int = 6,
+    damping: float = 1e-4,
+) -> jnp.ndarray:
+    """Refine T (curr-from-prev) so that T X_prev aligns with observed rays.
+
+    Args:
+      T_init: (4, 4) initial relative pose (e.g. RANSAC output).
+      pts_prev: (N, 3) triangulated points in the previous rig frame.
+      rays_curr: (N, 3) observed unit rays in the current rig frame.
+      weights: (N,) weights; zero = ignored slot (mask discipline).
+      iters: fixed Gauss-Newton iteration count.
+      damping: Levenberg lambda added to the normal equations.
+
+    Returns:
+      (4, 4) refined pose.
+    """
+
+    def residual_vec(delta, T):
+        T_d = se3_exp(delta) @ T
+        r = bearing_residuals(T_d, pts_prev, rays_curr)
+        return (r * weights[:, None]).reshape(-1)
+
+    def step(_, T):
+        zero = jnp.zeros(6, dtype=T.dtype)
+        J = jax.jacfwd(residual_vec)(zero, T)           # (3N, 6)
+        r = residual_vec(zero, T)                        # (3N,)
+        H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(H, g)
+        return se3_exp(delta) @ T
+
+    return jax.lax.fori_loop(0, iters, step, T_init)
+
+
+def refine_pose_points(
+    T_init: jnp.ndarray,
+    pts_prev: jnp.ndarray,
+    pts_curr: jnp.ndarray,
+    weights: jnp.ndarray,
+    iters: int = 4,
+    damping: float = 1e-4,
+    huber_delta: float = 0.05,
+) -> jnp.ndarray:
+    """Robust (Huber/IRLS) refinement of T on 3D-3D point residuals."""
+
+    def residual_vec(delta, T, w):
+        T_d = se3_exp(delta) @ T
+        r = transform_points(T_d, pts_prev) - pts_curr
+        return (r * w[:, None]).reshape(-1)
+
+    def step(_, T):
+        zero = jnp.zeros(6, dtype=T.dtype)
+        r_raw = transform_points(T, pts_prev) - pts_curr
+        nrm = jnp.linalg.norm(r_raw, axis=-1)
+        huber_w = jnp.sqrt(jnp.where(nrm <= huber_delta, 1.0, huber_delta / jnp.maximum(nrm, 1e-9)))
+        w = weights * huber_w
+        J = jax.jacfwd(residual_vec)(zero, T, w)
+        r = residual_vec(zero, T, w)
+        H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(H, g)
+        return se3_exp(delta) @ T
+
+    return jax.lax.fori_loop(0, iters, step, T_init)

@@ -1,0 +1,74 @@
+"""Schur-complement reduction primitives for windowed BA.
+
+The landmark-axis contractions of BA's normal equations, factored into one
+module because they are (a) the BA hot loop named by BASELINE.json:5 ("Pallas
+kernels for the ... Jacobian/Schur hot loops" -- `sosvo/kernels/schur_pallas.py`
+swaps in here), and (b) the distribution point: under landmark sharding
+(SURVEY.md P2-TP) every device computes `reduce_camera_system` over ITS
+landmark shard and the partial (S, b_red) are combined with `jax.lax.psum`
+(see `sosvo/dist/ba_dist.py`) -- the contraction is a sum over landmarks, so
+sharding the l-axis and psumming is exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.geom.lie import se3_exp
+
+
+def reduce_camera_system(
+    H_cc: jnp.ndarray,      # (W, 6, 6) pose diagonal blocks (damped, GLOBAL)
+    H_cl: jnp.ndarray,      # (W, L, 6, 3) pose-landmark coupling (local shard)
+    H_ll_inv: jnp.ndarray,  # (L, 3, 3) inverted landmark blocks (local shard)
+    b_c: jnp.ndarray,       # (W, 6) (GLOBAL)
+    b_l: jnp.ndarray,       # (L, 3) (local shard)
+    axis_name: str | None = None,
+):
+    """Schur complement of the landmark blocks onto the camera system.
+
+        S[w, w'] = delta_ww' H_cc[w] - sum_l H_cl[w,l] H_ll_inv[l] H_cl[w',l]^T
+        b_red[w] = b_c[w] - sum_l H_cl[w,l] H_ll_inv[l] b_l[l]
+
+    The einsums contract over the landmark axis l -- the axis that is sharded
+    in distributed BA. With `axis_name` set (inside shard_map), the local
+    partial subtraction terms are psummed BEFORE being combined with the
+    already-global (H_cc, b_c), which is exactly the "Schur-complement
+    reduction ... over jax.lax collectives" of BASELINE.json:5.
+
+    Returns:
+      S: (W, W, 6, 6) reduced camera Hessian (block layout, global).
+      b_red: (W, 6) reduced gradient (global).
+    """
+    W = H_cc.shape[0]
+    # A[w, l] = H_cl[w, l] @ H_ll_inv[l]  : (W, L, 6, 3)
+    A = jnp.einsum("wlij,ljk->wlik", H_cl, H_ll_inv)
+    S_off = jnp.einsum("wlik,vljk->wvij", A, H_cl)       # (W, W, 6, 6)
+    b_sub = jnp.einsum("wlik,lk->wi", A, b_l)
+    if axis_name is not None:
+        S_off = jax.lax.psum(S_off, axis_name)
+        b_sub = jax.lax.psum(b_sub, axis_name)
+    eye_w = jnp.eye(W, dtype=H_cc.dtype)
+    S = eye_w[:, :, None, None] * H_cc[:, None] - S_off
+    b_red = b_c - b_sub
+    return S, b_red
+
+
+def back_substitute(
+    H_ll_inv: jnp.ndarray,  # (L, 3, 3)
+    H_cl: jnp.ndarray,      # (W, L, 6, 3)
+    b_l: jnp.ndarray,       # (L, 3)
+    delta_c: jnp.ndarray,   # (W, 6) solved pose updates
+) -> jnp.ndarray:
+    """Per-landmark update given the pose solution (embarrassingly parallel):
+
+        delta_l[l] = -H_ll_inv[l] (b_l[l] + sum_w H_cl[w,l]^T delta_c[w])
+    """
+    rhs = b_l + jnp.einsum("wlij,wi->lj", H_cl, delta_c)
+    return -jnp.einsum("lij,lj->li", H_ll_inv, rhs)
+
+
+def apply_pose_updates(X: jnp.ndarray, delta_c: jnp.ndarray) -> jnp.ndarray:
+    """Left-retract each pose: X[w] <- exp(delta_c[w]) X[w]. (W, 4, 4)."""
+    return jnp.einsum("wij,wjk->wik", se3_exp(delta_c), X)

@@ -1,0 +1,114 @@
+"""Feature detection on panoramas: Harris corners + NMS + fixed top-K.
+
+TPU-native replacement for the reference's OpenCV C++ detector boundary
+(SURVEY.md C6: ORB = FAST + Harris ranking + BRIEF; here the detector is a
+Harris corner response -- the ranking ORB itself uses -- computed as a few
+separable convolutions, entirely fusable by XLA). The key JIT-ification move
+(SURVEY.md SS7 "hard parts #1") is FIXED-SIZE output: exactly K keypoint
+slots with a validity mask, selected by `lax.top_k` over the NMS'd response
+map. No dynamic shapes anywhere.
+
+The panorama wraps horizontally (azimuth), so convolutions and NMS use
+circular padding along columns; rows are zero-padded.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    rows: jnp.ndarray      # (K,) float32 subpixel row
+    cols: jnp.ndarray      # (K,) float32 subpixel col
+    response: jnp.ndarray  # (K,) float32 Harris response
+    valid: jnp.ndarray     # (K,) bool
+
+
+def _wrap_pad(img: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Pad rows with edge values, columns circularly (azimuth wrap)."""
+    img = jnp.concatenate([img[:, -pad:], img, img[:, :pad]], axis=1)
+    img = jnp.concatenate([img[:1].repeat(pad, 0), img, img[-1:].repeat(pad, 0)], axis=0)
+    return img
+
+
+def _conv2_sep(img: jnp.ndarray, kr: jnp.ndarray, kc: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D convolution with wrap-padded borders."""
+    pr, pc = kr.shape[0] // 2, kc.shape[0] // 2
+    pad = max(pr, pc)
+    x = _wrap_pad(img, pad)[None, None]  # NCHW
+    kr4 = kr.reshape(1, 1, -1, 1)
+    kc4 = kc.reshape(1, 1, 1, -1)
+    x = jax.lax.conv_general_dilated(x, kr4, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kc4, (1, 1), "VALID")
+    out = x[0, 0]
+    # Trim residual padding (when pr != pc the pad was oversized on one axis).
+    return out[pad - pr : out.shape[0] - (pad - pr), pad - pc : out.shape[1] - (pad - pc)]
+
+
+_GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_DERIV = jnp.array([-0.5, 0.0, 0.5])
+_ONE = jnp.array([1.0])
+
+
+def gaussian_smooth(img: jnp.ndarray) -> jnp.ndarray:
+    return _conv2_sep(img, _GAUSS5, _GAUSS5)
+
+
+def harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
+    """Harris corner response with Gaussian-windowed structure tensor."""
+    ix = _conv2_sep(img, _ONE, _DERIV)
+    iy = _conv2_sep(img, _DERIV, _ONE)
+    sxx = _conv2_sep(ix * ix, _GAUSS5, _GAUSS5)
+    syy = _conv2_sep(iy * iy, _GAUSS5, _GAUSS5)
+    sxy = _conv2_sep(ix * iy, _GAUSS5, _GAUSS5)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+def nms_local_max(resp: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Keep only strict local maxima in a (2r+1)^2 window (wrap columns)."""
+    pad = radius
+    x = _wrap_pad(resp, pad)
+    win = 2 * radius + 1
+    mx = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (win, win), (1, 1), "VALID"
+    )
+    return jnp.where(resp >= mx, resp, -jnp.inf)
+
+
+def detect(
+    pano: jnp.ndarray,
+    max_features: int,
+    threshold: float = 1e-6,
+    nms_radius: int = 1,
+    border_rows: int = 12,
+) -> Keypoints:
+    """Detect up to K Harris corners; fixed-size output with validity mask.
+
+    Args:
+      pano: (H, W) float32 panorama.
+      max_features: K, the fixed slot count.
+      threshold: minimum Harris response (relative to the image's own
+        response scale: threshold * max_response, making it exposure
+        invariant).
+      border_rows: rows excluded at top/bottom (descriptor patch must fit;
+        columns wrap so no horizontal border is needed).
+    """
+    h, w = pano.shape
+    resp = harris_response(gaussian_smooth(pano))
+    resp = nms_local_max(resp, nms_radius)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    in_band = (row_ids >= border_rows) & (row_ids < h - border_rows)
+    resp = jnp.where(in_band, resp, -jnp.inf)
+
+    flat = resp.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_features)
+    rows = (idx // w).astype(jnp.float32)
+    cols = (idx % w).astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(vals), 1e-12)
+    valid = vals > threshold * scale
+    return Keypoints(rows=rows, cols=cols, response=vals, valid=valid)

@@ -1,0 +1,132 @@
+"""Descriptor matching: Hamming distance + ratio test + cross-check, pure XLA.
+
+TPU-native replacement for the reference's OpenCV C++ BFMatcher boundary
+(SURVEY.md C7, one of the two named hot loops in BASELINE.json:5 "Pallas
+kernels for the match/score ... hot loops"). This module is the XLA reference
+path; `sosvo/kernels/match_pallas.py` is the fused Pallas kernel that must be
+bit-identical to it (SURVEY.md SS4.1 "kernel equivalence").
+
+TPU-first design: instead of a scalar popcount loop (the CPU idiom), Hamming
+distance between 256-bit descriptors is computed on the MXU as a matmul of
++/-1-valued bf16 bit vectors:
+
+    hamming(a, b) = (NBITS - <bits(a)*2-1, bits(b)*2-1>) / 2
+
+which makes the distance matrix a (K, 256) x (256, K) matmul -- exactly what
+the systolic array is built for -- while staying exact (integer values are
+representable in bf16-accumulated-f32 up to 256). A popcount-XOR path is kept
+for verification.
+
+Both stereo matching (constrained to +/-Delta azimuth columns, because the
+coaxial views are azimuth-aligned [P1]) and unconstrained temporal matching
+are expressed through an additive penalty mask, so there is ONE matcher.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NBITS = 256
+WORDS = NBITS // 32
+BIG = jnp.float32(1e9)
+
+
+class MatchResult(NamedTuple):
+    """Fixed-size match set from A-features to B-features.
+
+    idx_b[i] is the matched B index for A feature i; valid[i] combines the
+    ratio test, cross-check, distance threshold, and input validity masks.
+    """
+
+    idx_b: jnp.ndarray    # (KA,) int32
+    dist: jnp.ndarray     # (KA,) float32 best Hamming distance
+    valid: jnp.ndarray    # (KA,) bool
+
+
+def unpack_bits_pm1(desc: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(..., WORDS) uint32 packed descriptors -> (..., NBITS) +/-1 values."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[..., :, None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape(desc.shape[:-1] + (NBITS,))
+    return (bits.astype(jnp.float32) * 2.0 - 1.0).astype(dtype)
+
+
+def hamming_matrix_xor(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """Exact popcount-XOR Hamming matrix (verification path; VPU-bound)."""
+    x = desc_a[:, None, :] ^ desc_b[None, :, :]
+    # popcount via jax.lax.population_count on uint32
+    pc = jax.lax.population_count(x)
+    return jnp.sum(pc, axis=-1).astype(jnp.float32)
+
+
+def hamming_matrix_mxu(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """Hamming matrix via +/-1 bf16 matmul on the MXU (exact for NBITS<=256)."""
+    a = unpack_bits_pm1(desc_a)
+    b = unpack_bits_pm1(desc_b)
+    dot = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return (NBITS - dot) * 0.5
+
+
+def column_band_penalty(cols_a: jnp.ndarray, cols_b: jnp.ndarray, max_delta: float,
+                        wrap: int | None = None) -> jnp.ndarray:
+    """(KA, KB) additive penalty: BIG outside the +/-max_delta column band.
+
+    For stereo matching between azimuth-aligned panoramas, epipolar curves are
+    columns [P1], so candidate matches must share (approximately) the same
+    panorama column. `wrap` is the panorama width for circular azimuth.
+    """
+    d = cols_a[:, None] - cols_b[None, :]
+    if wrap is not None:
+        half = wrap / 2.0
+        d = jnp.where(d > half, d - wrap, d)
+        d = jnp.where(d < -half, d + wrap, d)
+    return jnp.where(jnp.abs(d) <= max_delta, 0.0, BIG)
+
+
+def match(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    max_distance: float = 64.0,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+    penalty: jnp.ndarray | None = None,
+    use_mxu: bool = True,
+) -> MatchResult:
+    """Brute-force Hamming matching with ratio test + cross-check.
+
+    Mirrors the reference BFMatcher semantics (SURVEY.md C7: best/second-best
+    ratio test + cross-check; stereo variant adds the column-band constraint)
+    on fixed-size masked descriptor sets.
+    """
+    dmat = hamming_matrix_mxu(desc_a, desc_b) if use_mxu else hamming_matrix_xor(desc_a, desc_b)
+    dmat = dmat + jnp.where(valid_a[:, None], 0.0, BIG) + jnp.where(valid_b[None, :], 0.0, BIG)
+    if penalty is not None:
+        dmat = dmat + penalty
+
+    best_b = jnp.argmin(dmat, axis=1).astype(jnp.int32)
+    d_best = jnp.min(dmat, axis=1)
+    # Second-best for the Lowe-style ratio test: mask out the winner.
+    ka, kb = dmat.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (ka, kb), 1)
+    dmat_no_best = jnp.where(col_ids == best_b[:, None], jnp.inf, dmat)
+    d_second = jnp.min(dmat_no_best, axis=1)
+
+    # Strict inequality: an exactly ambiguous best (d_best == d_second, e.g.
+    # duplicated descriptors at distance 0) must fail the ratio test.
+    ok = valid_a & (d_best <= max_distance) & (d_best < ratio * d_second)
+    if cross_check:
+        best_a_of_b = jnp.argmin(dmat, axis=0).astype(jnp.int32)
+        row_ids = jnp.arange(ka, dtype=jnp.int32)
+        ok = ok & (best_a_of_b[best_b] == row_ids)
+    return MatchResult(idx_b=best_b, dist=d_best, valid=ok)

@@ -1,0 +1,157 @@
+"""Vmapped fixed-batch RANSAC: rigid 3D-3D and essential-matrix variants.
+
+TPU-native replacement for the reference's sequential Python RANSAC loops
+(SURVEY.md C10). Per BASELINE.json:5 ("batched RANSAC hypotheses vmapped per
+chip") there is NO data-dependent loop: a fixed number H of hypotheses is
+sampled, fitted and scored entirely in parallel, then the best is selected
+with argmax and refit on its inliers. With H in the hundreds this dominates
+adaptive-termination RANSAC on TPU: all hypotheses cost one fused batched
+pass, and under data parallelism H scales with the chip count.
+
+Minimal-set sampling uses the Gumbel-top-k trick over the validity mask:
+per hypothesis, add Gumbel noise to log(valid) and take the top S indices --
+samples S *distinct* valid slots with uniform probability, no rejection loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.geom.lie import rt_to_mat, transform_points
+from sosvo.geometry.align import umeyama
+from sosvo.geometry.essential import (
+    decompose_essential,
+    epipolar_residual_angle,
+    fit_essential,
+)
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray        # (4, 4) rigid transform (or assembled from E decomposition)
+    inliers: jnp.ndarray      # (K,) bool inlier mask of the best refit model
+    num_inliers: jnp.ndarray  # () int32
+    ok: jnp.ndarray           # () bool: enough inliers to trust the estimate
+
+
+def sample_minimal_sets(key: jax.Array, valid: jnp.ndarray, n_hyps: int, set_size: int) -> jnp.ndarray:
+    """(H, S) distinct indices into valid slots, uniform via Gumbel-top-k."""
+    k = valid.shape[-1]
+    logit = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (n_hyps, k))
+    _, idx = jax.lax.top_k(logit[None, :] + g, set_size)
+    return idx.astype(jnp.int32)
+
+
+def _select_best(residuals: jnp.ndarray, valid: jnp.ndarray, threshold: float):
+    """Score hypotheses by masked inlier count; return (best_idx, inlier_mask_of_best)."""
+    inl = (residuals < threshold) & valid[None, :]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=-1)
+    best = jnp.argmax(counts)
+    return best, inl[best], counts[best]
+
+
+def _bearing_residual(T: jnp.ndarray, pts_prev: jnp.ndarray, rays_curr: jnp.ndarray) -> jnp.ndarray:
+    """Angular error (rad) between predicted directions of transformed previous
+    points and the observed current-frame bearing rays.
+
+    Depth-insensitive: omnistereo triangulation error grows ~ depth^2/baseline
+    along the ray [P2], so Euclidean 3D residuals would reject every far point
+    under realistic pixel noise while angular residuals stay ~ pixel-noise
+    sized at all ranges. This matches the reference's spherical-reprojection
+    inlier criterion (SURVEY.md C10 "angular reprojection threshold on sphere").
+    """
+    pred = transform_points(T, pts_prev)
+    pred = pred / jnp.maximum(jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-9)
+    cosang = jnp.clip(jnp.sum(pred * rays_curr, axis=-1), -1.0, 1.0)
+    return jnp.arccos(cosang)
+
+
+def ransac_rigid(
+    key: jax.Array,
+    pts_prev: jnp.ndarray,
+    pts_curr: jnp.ndarray,
+    valid: jnp.ndarray,
+    rays_curr: jnp.ndarray | None = None,
+    n_hyps: int = 512,
+    threshold: float = 0.03,
+    angle_threshold: float = 0.02,
+    min_inliers: int = 12,
+) -> RansacResult:
+    """Robust 3D-3D rigid pose: T with pts_curr ~= T pts_prev.
+
+    The reference's core frame-to-frame VO solver (SURVEY.md C11 + C10 [P1]):
+    minimal sets of 3 matched triangulated points, Umeyama inner solver, refit
+    on the best inlier set. Scoring is angular (bearing) when `rays_curr` is
+    given -- the depth-robust criterion -- else Euclidean 3D distance.
+    """
+    idx = sample_minimal_sets(key, valid, n_hyps, 3)
+    src = pts_prev[idx]  # (H, 3, 3)
+    dst = pts_curr[idx]
+    T_h, _ = umeyama(src, dst)  # (H, 4, 4)
+
+    if rays_curr is None:
+        pred = transform_points(T_h, pts_prev)           # (H, K, 3)
+        res = jnp.linalg.norm(pred - pts_curr, axis=-1)  # (H, K)
+        thr = threshold
+    else:
+        res = jax.vmap(lambda T: _bearing_residual(T, pts_prev, rays_curr))(T_h)
+        thr = angle_threshold
+    best, inl, count = _select_best(res, valid, thr)
+
+    # Refit on the winning inlier set, downweighting far points whose
+    # triangulated depth variance ~ depth^4 dominates the 3D residual.
+    depth2 = jnp.sum(pts_prev * pts_prev, axis=-1)
+    w = inl.astype(pts_prev.dtype) / (1.0 + depth2)
+    T_refit, _ = umeyama(pts_prev, pts_curr, weights=w)
+    # Final inlier set under the refit model (same residual type as scoring).
+    if rays_curr is None:
+        res_f = jnp.linalg.norm(transform_points(T_refit, pts_prev) - pts_curr, axis=-1)
+    else:
+        res_f = _bearing_residual(T_refit, pts_prev, rays_curr)
+    inl_f = (res_f < thr) & valid
+    count_f = jnp.sum(inl_f.astype(jnp.int32))
+    ok = count_f >= min_inliers
+    T_final = jnp.where(ok, T_refit, jnp.eye(4, dtype=T_refit.dtype))
+    return RansacResult(T_final, inl_f, count_f, ok)
+
+
+def ransac_essential(
+    key: jax.Array,
+    rays1: jnp.ndarray,
+    rays2: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_hyps: int = 512,
+    threshold: float = 0.005,
+    min_inliers: int = 16,
+):
+    """Robust E on the sphere -> (R, t_unit) relative pose (2D-2D path).
+
+    Minimal sets of 8 ray pairs, weighted-DLT inner fit, angular epipolar
+    residual scoring (SURVEY.md C9/C10, BASELINE.json:5). Returns the
+    cheirality-disambiguated (R, t) of the refit E plus the RansacResult
+    whose `model` is the assembled 4x4 (unit-scale translation).
+    """
+    idx = sample_minimal_sets(key, valid, n_hyps, 8)
+    r1 = rays1[idx]  # (H, 8, 3)
+    r2 = rays2[idx]
+    w8 = jnp.ones(idx.shape, dtype=rays1.dtype)
+    E_h = fit_essential(r1, r2, w8)  # (H, 3, 3)
+
+    res = jax.vmap(lambda E: epipolar_residual_angle(E, rays1, rays2))(E_h)  # (H, K)
+    best, inl, _ = _select_best(res, valid, threshold)
+
+    w = inl.astype(rays1.dtype)
+    E_refit = fit_essential(rays1, rays2, w)
+    res_f = epipolar_residual_angle(E_refit, rays1, rays2)
+    inl_f = (res_f < threshold) & valid
+    count_f = jnp.sum(inl_f.astype(jnp.int32))
+    ok = count_f >= min_inliers
+
+    R, t, _ = decompose_essential(E_refit, rays1, rays2, inl_f.astype(rays1.dtype))
+    # Assemble frame2-from-frame1; pose of frame2 in frame1 is the inverse.
+    T_21 = rt_to_mat(R, t)
+    T_final = jnp.where(ok, T_21, jnp.eye(4, dtype=T_21.dtype))
+    return RansacResult(T_final, inl_f, count_f, ok), R, t

@@ -1,0 +1,105 @@
+"""Frozen-dataclass config system, JSON-loadable.
+
+TPU-native replacement for the reference's argparse + in-script constants +
+pickled model files (SURVEY.md SS5.6). All configs are hashable frozen
+dataclasses so they can be passed to jit as static arguments; the five
+benchmark presets (BASELINE.json:7-11) ship as JSON files in `configs/`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Feature detection / description / matching knobs (SURVEY.md C6/C7)."""
+
+    max_features: int = 512          # K: fixed feature-slot count per view
+    stereo_band_rad: float = 0.06    # +/- azimuth band for stereo matching [P1]
+    match_max_distance: float = 80.0  # Hamming acceptance threshold (of 256)
+    match_ratio: float = 0.9         # Lowe ratio (best/second-best)
+    detect_threshold: float = 4.0    # corner-response acceptance threshold
+    nms_grid: int = 3                # local-max suppression radius (pixels)
+    pano_height: int = 128           # panorama rows (elevation samples)
+    pano_width: int = 1024           # panorama cols (azimuth samples)
+    descriptor_patch: int = 24       # BRIEF-style sampling patch size
+    use_pallas_match: bool = False   # fused Pallas kernel vs XLA matcher
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Robust-estimation knobs (SURVEY.md C10)."""
+
+    n_hyps: int = 512                # fixed hypothesis batch per chip [B:5]
+    rigid_threshold: float = 0.05    # 3D inlier radius (m), when scoring in 3D
+    rigid_angle_threshold: float = 0.02  # bearing inlier threshold (rad)
+    essential_threshold: float = 0.01  # angular epipolar threshold (rad)
+    min_inliers: int = 10
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Windowed bundle adjustment knobs (SURVEY.md C13, BASELINE.json:8)."""
+
+    window: int = 5                  # keyframe window size W
+    max_landmarks: int = 512         # landmark slots per window
+    iters: int = 5                   # LM outer iterations
+    damping_init: float = 1e-3
+    use_pallas_schur: bool = False
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    """Mesh / sharding knobs (SURVEY.md SS2.2, BASELINE.json:10-11)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = 1           # sequences in parallel (P1-DP)
+    model_parallel: int = 1          # landmark shards (P2-TP)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level VO pipeline configuration -- static under jit."""
+
+    frontend: FrontendConfig = FrontendConfig()
+    ransac: RansacConfig = RansacConfig()
+    ba: BAConfig = BAConfig()
+    dist: DistConfig = DistConfig()
+    min_triangulation_angle: float = 0.004
+    max_range: float = 30.0
+    max_ray_gap: float = 0.08
+    refine_iters: int = 6
+    use_essential_gate: bool = True
+    keyframe_every: int = 4          # keyframe cadence (frames)
+    mode: str = "observations"       # "observations" (c1) or "images" (c2+)
+
+
+def _from_dict(cls, d: dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in ("frontend", "ransac", "ba", "dist"):
+            sub = {"frontend": FrontendConfig, "ransac": RansacConfig, "ba": BAConfig, "dist": DistConfig}[f.name]
+            kwargs[f.name] = _from_dict(sub, v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_pipeline_config(path: str | Path) -> PipelineConfig:
+    """Load a PipelineConfig from a JSON preset (configs/c*.json)."""
+    with open(path) as f:
+        d = json.load(f)
+    return _from_dict(PipelineConfig, d.get("pipeline", d))
+
+
+def dump_pipeline_config(cfg: PipelineConfig) -> dict:
+    return dataclasses.asdict(cfg)

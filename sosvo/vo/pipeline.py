@@ -1,0 +1,161 @@
+"""The VO state machine: one jitted per-frame step, scanned over frames.
+
+TPU-native replacement for the reference's per-frame driver loop (SURVEY.md
+C15 and SS3.1): acquire -> stereo match -> triangulate -> temporal match ->
+RANSAC pose -> refine -> concatenate. In the reference each stage crosses an
+OpenCV/scipy native boundary per frame; here the ENTIRE body is one jitted
+pure function over fixed-shape pytrees, so XLA fuses the whole frame and
+`lax.scan` replays a sequence with zero host round-trips (BASELINE.json:5
+"the whole frontend+backend JITs end-to-end").
+
+This module implements the observation-mode pipeline (config c1,
+BASELINE.json:7): inputs are per-frame feature observations (rays +
+descriptors), exactly what the image frontend produces. The image-mode
+pipeline composes the panorama/detect/describe frontend in front of the same
+core (`sosvo/vo/image_pipeline.py`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.backend.refine import refine_pose_bearings
+from sosvo.frontend.match import column_band_penalty, match
+from sosvo.geom.lie import geodesic_angle, mat_inv
+from sosvo.geometry.ransac import ransac_essential, ransac_rigid
+from sosvo.geometry.triangulate import midpoint_triangulate
+from sosvo.sensor.model import viewpoint
+from sosvo.sensor.rig import OmnistereoRig
+from sosvo.synth.scene import FrameObservations
+from sosvo.utils.config import PipelineConfig
+from sosvo.vo.state import StepOutput, TrackState
+
+
+def azimuth_of(rays: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arctan2(rays[..., 1], rays[..., 0])
+
+
+def stereo_triangulate(rig: OmnistereoRig, obs: FrameObservations, cfg: PipelineConfig):
+    """Stereo match top vs bottom feature sets, triangulate matched pairs.
+
+    Returns fixed-size (K,) arrays indexed by TOP feature slot: 3D point,
+    descriptor, ray, azimuth, validity.
+    """
+    az_t = azimuth_of(obs.ray_top)
+    az_b = azimuth_of(obs.ray_bottom)
+    # Coaxial views: epipolar curves are iso-azimuth (SURVEY.md C5/C7 [P1]),
+    # so stereo candidates must agree in azimuth (wrapped band).
+    penalty = column_band_penalty(az_t, az_b, cfg.frontend.stereo_band_rad, wrap=2.0 * jnp.pi)
+    m = match(
+        obs.desc_top, obs.desc_bottom,
+        obs.valid_top, obs.valid_bottom,
+        max_distance=cfg.frontend.match_max_distance,
+        ratio=cfg.frontend.match_ratio,
+        penalty=penalty,
+    )
+    ray_b = obs.ray_bottom[m.idx_b]
+    tri = midpoint_triangulate(
+        obs.ray_top, ray_b,
+        viewpoint(rig.top), viewpoint(rig.bottom),
+        min_angle=cfg.min_triangulation_angle,
+        max_range=cfg.max_range,
+        max_gap=cfg.max_ray_gap,
+    )
+    valid = m.valid & tri.valid
+    return tri.points, obs.desc_top, obs.ray_top, az_t, valid
+
+
+def step(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    state: TrackState,
+    obs: FrameObservations,
+) -> tuple[TrackState, StepOutput]:
+    """One VO frame: returns (new_state, output). Pure; jit/scan/vmap-safe."""
+    key, k_ransac, k_ess = jax.random.split(state.key, 3)
+
+    # --- stereo + triangulation (SURVEY.md SS3.2) ---
+    pts, desc, rays, az, valid = stereo_triangulate(rig, obs, cfg)
+    n_stereo = jnp.sum(valid.astype(jnp.int32))
+
+    # --- temporal match: previous frame's points vs current features ---
+    tm = match(
+        state.prev_desc, desc,
+        state.prev_valid, valid,
+        max_distance=cfg.frontend.match_max_distance,
+        ratio=cfg.frontend.match_ratio,
+    )
+    pts_curr_m = pts[tm.idx_b]
+    rays_curr_m = rays[tm.idx_b]
+    pair_valid = tm.valid & state.prev_valid & valid[tm.idx_b]
+    n_temporal = jnp.sum(pair_valid.astype(jnp.int32))
+
+    # --- robust relative pose: T_cp (current-from-previous), 3D-3D (SS3.3) ---
+    rr = ransac_rigid(
+        k_ransac, state.prev_points, pts_curr_m, pair_valid,
+        rays_curr=rays_curr_m,
+        n_hyps=cfg.ransac.n_hyps,
+        threshold=cfg.ransac.rigid_threshold,
+        angle_threshold=cfg.ransac.rigid_angle_threshold,
+        min_inliers=cfg.ransac.min_inliers,
+    )
+
+    # --- bearing-only refinement on inliers (SURVEY.md C12) ---
+    w = rr.inliers.astype(jnp.float32)
+    T_cp = refine_pose_bearings(rr.model, state.prev_points, rays_curr_m, w, iters=cfg.refine_iters)
+
+    # --- essential-matrix gate (2D-2D path, SURVEY.md C9; config c1) ---
+    if cfg.use_essential_gate:
+        re, R_e, _ = ransac_essential(
+            k_ess, state.prev_rays, rays_curr_m, pair_valid,
+            n_hyps=cfg.ransac.n_hyps,
+            threshold=cfg.ransac.essential_threshold,
+            min_inliers=cfg.ransac.min_inliers,
+        )
+        ess_angle = geodesic_angle(T_cp[:3, :3], R_e)
+        ess_consistent = jnp.where(re.ok, ess_angle < 0.15, True)
+    else:
+        ess_angle = jnp.float32(0.0)
+        ess_consistent = jnp.asarray(True)
+
+    pose_ok = rr.ok & ess_consistent
+    # On failure hold the pose (identity relative motion) rather than
+    # propagating a garbage estimate -- same recovery the reference's
+    # frame-to-frame loop uses on tracking loss.
+    T_cp = jnp.where(pose_ok, T_cp, jnp.eye(4, dtype=T_cp.dtype))
+    T_world = state.T_world @ mat_inv(T_cp)
+
+    new_state = TrackState(
+        T_world=T_world,
+        prev_points=pts,
+        prev_desc=desc,
+        prev_rays=rays,
+        prev_azimuth=az,
+        prev_valid=valid,
+        frame_idx=state.frame_idx + 1,
+        key=key,
+    )
+    out = StepOutput(
+        T_world=T_world,
+        n_stereo=n_stereo,
+        n_temporal=n_temporal,
+        n_inliers=rr.num_inliers,
+        pose_ok=pose_ok,
+        ess_angle_err=ess_angle,
+    )
+    return new_state, out
+
+
+def run_replay(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    state: TrackState,
+    obs_seq: FrameObservations,
+) -> tuple[TrackState, StepOutput]:
+    """Replay a whole sequence with lax.scan; outputs are stacked per frame."""
+
+    def body(s, o):
+        return step(rig, cfg, s, o)
+
+    return jax.lax.scan(body, state, obs_seq)

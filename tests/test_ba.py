@@ -1,0 +1,91 @@
+"""Windowed BA: convergence on synthetic windows with exact ground truth.
+
+SURVEY.md section 4.1/4.2: synthetic observations from known poses/landmarks,
+perturb, solve, and require recovery to tight tolerance (the golden-test
+strategy inherited from the reference's exact-ground-truth validation).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sosvo.backend.ba import BAWindow, ba_cost, ba_solve
+from sosvo.geom.lie import mat_inv, se3_exp, transform_points
+from sosvo.sensor.model import viewpoint
+from sosvo.sensor.rig import default_rig
+from sosvo.synth.scene import make_scene
+
+W, L = 5, 128
+
+
+def _make_window(key, pose_noise=0.0, lm_noise=0.0, pixel_like_noise=0.0):
+    """Exact two-view bearing observations of L landmarks from W keyframes."""
+    rig = default_rig()
+    scene = make_scene(key, n_frames=W, n_landmarks=4096)
+    lms = scene.landmarks[:L]
+    X_gt = jax.vmap(mat_inv)(scene.poses)               # rig-from-world
+    vps = jnp.stack([viewpoint(rig.top), viewpoint(rig.bottom)])
+
+    p_rig = jax.vmap(lambda X: transform_points(X, lms))(X_gt)   # (W, L, 3)
+    d = p_rig[:, :, None, :] - vps[None, None]                   # (W, L, 2, 3)
+    rays = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    if pixel_like_noise > 0.0:
+        k1, key = jax.random.split(key)
+        rays = rays + pixel_like_noise * jax.random.normal(k1, rays.shape)
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    weights = jnp.ones((W, L, 2), jnp.float32)
+
+    k2, k3 = jax.random.split(jax.random.fold_in(key, 7))
+    # Perturb every pose except keyframe 0 (the gauge anchor) + all landmarks.
+    xi = pose_noise * jax.random.normal(k2, (W, 6))
+    xi = xi.at[0].set(0.0)
+    X0 = jnp.einsum("wij,wjk->wik", se3_exp(xi), X_gt)
+    lms0 = lms + lm_noise * jax.random.normal(k3, lms.shape)
+
+    win = BAWindow(X=X0, landmarks=lms0, rays=rays, weights=weights, viewpoints=vps)
+    return win, X_gt, lms
+
+
+def test_ba_zero_residual_at_ground_truth():
+    win, X_gt, lms = _make_window(jax.random.PRNGKey(0))
+    assert float(ba_cost(win)) < 1e-8
+
+
+def test_ba_recovers_perturbed_window():
+    win, X_gt, lms = _make_window(jax.random.PRNGKey(1), pose_noise=0.02, lm_noise=0.03)
+    res = jax.jit(lambda w: ba_solve(w, iters=8))(win)
+    assert float(res.cost) < 1e-7, float(res.cost)
+    # Poses recovered (gauge anchored at kf0 ground truth).
+    t_err = jnp.linalg.norm(res.X[:, :3, 3] - X_gt[:, :3, 3], axis=-1)
+    assert float(jnp.max(t_err)) < 1e-3, np.asarray(t_err)
+    lm_err = jnp.linalg.norm(res.landmarks - lms, axis=-1)
+    assert float(jnp.median(lm_err)) < 5e-3
+
+
+def test_ba_noisy_observations_still_improve():
+    win, X_gt, lms = _make_window(
+        jax.random.PRNGKey(2), pose_noise=0.02, lm_noise=0.03, pixel_like_noise=1e-3
+    )
+    res = ba_solve(win, iters=8)
+    assert float(res.cost) < float(res.cost0) * 0.1
+    t_err = jnp.linalg.norm(res.X[:, :3, 3] - X_gt[:, :3, 3], axis=-1)
+    assert float(jnp.max(t_err)) < 0.02
+
+
+def test_ba_masked_landmarks_do_not_move():
+    win, X_gt, lms = _make_window(jax.random.PRNGKey(3), pose_noise=0.01, lm_noise=0.02)
+    w = win.weights.at[:, L // 2 :, :].set(0.0)          # mask half the slots
+    win = win._replace(weights=w)
+    res = ba_solve(win, iters=6)
+    # Unobserved landmarks must not move (their updates are pure damping).
+    moved = jnp.linalg.norm(res.landmarks[L // 2 :] - win.landmarks[L // 2 :], axis=-1)
+    assert float(jnp.max(moved)) < 1e-6
+    # Observed half still drives pose recovery.
+    t_err = jnp.linalg.norm(res.X[:, :3, 3] - X_gt[:, :3, 3], axis=-1)
+    assert float(jnp.max(t_err)) < 1e-3
+
+
+def test_ba_gauge_anchor_fixed():
+    win, X_gt, lms = _make_window(jax.random.PRNGKey(4), pose_noise=0.02, lm_noise=0.02)
+    res = ba_solve(win, iters=6)
+    assert float(jnp.max(jnp.abs(res.X[0] - win.X[0]))) < 1e-6

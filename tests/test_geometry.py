@@ -1,0 +1,192 @@
+"""Geometry tests: matching, triangulation, essential matrix, RANSAC
+(SURVEY.md SS4.1 and SS4.4 property tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sosvo.frontend import match as fm
+from sosvo.geom.lie import mat_inv, se3_exp, so3_exp, transform_points
+from sosvo.geometry.essential import (
+    decompose_essential,
+    epipolar_residual_angle,
+    essential_from_rt,
+    fit_essential,
+)
+from sosvo.geometry.ransac import ransac_essential, ransac_rigid, sample_minimal_sets
+from sosvo.geometry.triangulate import midpoint_triangulate
+from sosvo.sensor.model import viewpoint
+from sosvo.sensor.rig import default_rig
+from sosvo.synth.scene import make_scene, observe_frame
+
+
+# ---------------------------------------------------------------- matching
+
+def test_hamming_mxu_equals_xor():
+    key = jax.random.PRNGKey(0)
+    a = jax.random.bits(key, (96, 8), dtype=jnp.uint32)
+    b = jax.random.bits(jax.random.PRNGKey(1), (128, 8), dtype=jnp.uint32)
+    d1 = fm.hamming_matrix_xor(a, b)
+    d2 = fm.hamming_matrix_mxu(a, b)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_match_identity_permutation():
+    key = jax.random.PRNGKey(2)
+    desc = jax.random.bits(key, (64, 8), dtype=jnp.uint32)
+    perm = jax.random.permutation(jax.random.PRNGKey(3), 64)
+    valid = jnp.ones(64, bool)
+    res = fm.match(desc, desc[perm], valid, valid)
+    # Every feature matches its permuted twin exactly (distance 0).
+    inv = jnp.argsort(perm)
+    assert bool(jnp.all(res.valid))
+    np.testing.assert_array_equal(np.asarray(res.idx_b), np.asarray(inv))
+    np.testing.assert_allclose(np.asarray(res.dist), 0.0)
+
+
+def test_match_respects_validity_and_ratio():
+    key = jax.random.PRNGKey(4)
+    desc_a = jax.random.bits(key, (32, 8), dtype=jnp.uint32)
+    desc_b = jnp.concatenate([desc_a, desc_a], axis=0)  # every A has TWO perfect twins
+    va = jnp.ones(32, bool)
+    vb = jnp.ones(64, bool)
+    res = fm.match(desc_a, desc_b, va, vb, ratio=0.8)
+    # Ratio test must kill all matches (best == second-best == 0 distance).
+    assert not bool(jnp.any(res.valid))
+    # Masking the duplicates restores the matches.
+    vb2 = vb.at[32:].set(False)
+    res2 = fm.match(desc_a, desc_b, va, vb2, ratio=0.8)
+    assert bool(jnp.all(res2.valid))
+
+
+def test_column_band_penalty_wrap():
+    ca = jnp.array([0.0, 510.0])
+    cb = jnp.array([2.0, 2.0])
+    p = fm.column_band_penalty(ca, cb, max_delta=5.0, wrap=512)
+    assert float(p[0, 0]) == 0.0
+    assert float(p[1, 0]) == 0.0  # 510 vs 2 wraps to distance 4
+
+
+# ------------------------------------------------------------ triangulation
+
+def test_triangulation_recovers_synthetic_depth():
+    rig = default_rig()
+    scene = make_scene(jax.random.PRNGKey(5), n_frames=3, n_landmarks=2048)
+    obs = observe_frame(rig, scene, jnp.asarray(1), 512, jax.random.PRNGKey(6))
+    tri = midpoint_triangulate(
+        obs.ray_top, obs.ray_bottom, viewpoint(rig.top), viewpoint(rig.bottom)
+    )
+    pts_rig = transform_points(mat_inv(scene.poses[1]), scene.landmarks)
+    gt = pts_rig[obs.lm_id]
+    ok = obs.valid & tri.valid
+    assert int(jnp.sum(ok)) > 100
+    err = jnp.linalg.norm(tri.points - gt, axis=-1)
+    # f32 midpoint triangulation error grows ~quadratically with range over a
+    # fixed vertical baseline; bound the error relative to the point's range.
+    rel = err / jnp.maximum(tri.depth_top, 1.0)
+    assert float(jnp.max(jnp.where(ok, rel, 0.0))) < 2e-3
+    assert float(jnp.median(jnp.where(ok, err, 0.0))) < 5e-3
+
+
+def test_triangulation_rejects_parallel_rays():
+    r = jnp.array([[1.0, 0.0, 0.0]])
+    tri = midpoint_triangulate(r, r, jnp.zeros(3), jnp.array([0.0, 0.0, -0.1]))
+    assert not bool(tri.valid[0])
+
+
+# ---------------------------------------------------------------- essential
+
+def _random_ray_pairs(key, n, R, t):
+    """Generate exact ray correspondences under X2 = R X1 + t."""
+    pts = jax.random.normal(key, (n, 3)) * 3.0 + jnp.array([0.0, 0.0, 2.0])
+    r1 = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    pts2 = pts @ R.T + t
+    r2 = pts2 / jnp.linalg.norm(pts2, axis=-1, keepdims=True)
+    return r1, r2
+
+
+def test_essential_fit_and_residual():
+    R = so3_exp(jnp.array([0.05, -0.1, 0.3]))
+    t = jnp.array([0.2, 0.1, -0.05])
+    r1, r2 = _random_ray_pairs(jax.random.PRNGKey(7), 64, R, t)
+    E = fit_essential(r1, r2, jnp.ones(64))
+    res = epipolar_residual_angle(E, r1, r2)
+    assert float(jnp.max(res)) < 1e-3
+    # Fitted E matches the analytic E = [t]x R up to sign.
+    E_true = essential_from_rt(R, t / jnp.linalg.norm(t))
+    diff = min(
+        float(jnp.linalg.norm(E - E_true)),
+        float(jnp.linalg.norm(E + E_true)),
+    )
+    assert diff < 5e-3, diff
+
+
+def test_essential_decomposition_recovers_pose():
+    R = so3_exp(jnp.array([-0.1, 0.2, 0.15]))
+    t = jnp.array([0.15, -0.2, 0.1])
+    t_unit = t / jnp.linalg.norm(t)
+    r1, r2 = _random_ray_pairs(jax.random.PRNGKey(8), 128, R, t)
+    E = fit_essential(r1, r2, jnp.ones(128))
+    R_est, t_est, support = decompose_essential(E, r1, r2, jnp.ones(128))
+    np.testing.assert_allclose(np.asarray(R_est), np.asarray(R), atol=2e-3)
+    t_err = min(float(jnp.linalg.norm(t_est - t_unit)), float(jnp.linalg.norm(t_est + t_unit)))
+    # Cheirality should fix the sign: direct comparison must be the small one.
+    np.testing.assert_allclose(np.asarray(t_est), np.asarray(t_unit), atol=5e-3)
+    assert float(support) > 100
+
+
+# ------------------------------------------------------------------ RANSAC
+
+def test_sample_minimal_sets_distinct_and_valid():
+    valid = jnp.arange(100) % 3 == 0  # 34 valid slots
+    idx = sample_minimal_sets(jax.random.PRNGKey(9), valid, 64, 8)
+    v = np.asarray(valid)
+    i = np.asarray(idx)
+    assert v[i].all()
+    for row in i:
+        assert len(set(row.tolist())) == 8
+
+
+def test_ransac_rigid_with_outliers():
+    # SURVEY.md SS4.4: <=30% outliers -> pose recovered within tolerance.
+    key = jax.random.PRNGKey(10)
+    pts = jax.random.normal(key, (256, 3)) * 2.0
+    T_true = se3_exp(jnp.array([0.05, -0.08, 0.12, 0.1, 0.05, -0.02]))
+    curr = transform_points(T_true, pts)
+    # 30% outliers
+    n_out = 76
+    curr = curr.at[:n_out].add(jax.random.normal(jax.random.PRNGKey(11), (n_out, 3)) * 1.5)
+    valid = jnp.ones(256, bool)
+    res = ransac_rigid(jax.random.PRNGKey(12), pts, curr, valid, n_hyps=256)
+    assert bool(res.ok)
+    assert int(res.num_inliers) >= 256 - n_out - 10
+    np.testing.assert_allclose(np.asarray(res.model), np.asarray(T_true), atol=2e-3)
+
+
+def test_ransac_rigid_respects_mask():
+    pts = jax.random.normal(jax.random.PRNGKey(13), (128, 3))
+    T_true = se3_exp(jnp.array([0.0, 0.1, 0.0, 0.2, 0.0, 0.0]))
+    curr = transform_points(T_true, pts)
+    curr = curr.at[64:].set(999.0)  # garbage in invalid slots
+    valid = jnp.arange(128) < 64
+    res = ransac_rigid(jax.random.PRNGKey(14), pts, curr, valid, n_hyps=128)
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.model), np.asarray(T_true), atol=2e-3)
+    assert not bool(jnp.any(res.inliers[64:]))
+
+
+def test_ransac_essential_with_outliers():
+    R = so3_exp(jnp.array([0.02, 0.05, 0.2]))
+    t = jnp.array([0.1, 0.05, 0.02])
+    r1, r2 = _random_ray_pairs(jax.random.PRNGKey(15), 256, R, t)
+    # 25% outliers: random rays
+    n_out = 64
+    bad = jax.random.normal(jax.random.PRNGKey(16), (n_out, 3))
+    bad = bad / jnp.linalg.norm(bad, axis=-1, keepdims=True)
+    r2 = r2.at[:n_out].set(bad)
+    valid = jnp.ones(256, bool)
+    res, R_est, t_est = ransac_essential(jax.random.PRNGKey(17), r1, r2, valid, n_hyps=256)
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(R_est), np.asarray(R), atol=5e-3)
+    t_unit = t / jnp.linalg.norm(t)
+    np.testing.assert_allclose(np.asarray(t_est), np.asarray(t_unit), atol=2e-2)
