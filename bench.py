@@ -18,6 +18,12 @@ import statistics
 import time
 
 import jax
+
+# Persistent compilation cache: the remote-TPU backend's compile path has
+# multi-minute latency variance; caching makes repeated bench runs start fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sosvo_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from sosvo.eval.ate import ate_rmse

@@ -36,8 +36,15 @@ def refine_pose_bearings(
     weights: jnp.ndarray,
     iters: int = 6,
     damping: float = 1e-4,
+    huber_delta: float = 0.01,
 ) -> jnp.ndarray:
     """Refine T (curr-from-prev) so that T X_prev aligns with observed rays.
+
+    IRLS with a Huber kernel on the per-point bearing residual norm: the
+    previous frame's triangulated points carry depth errors growing ~ depth^2
+    over the vertical baseline [P2], which the RANSAC inlier gate cannot
+    fully remove; Huber keeps those heavy-tailed points from dragging the
+    pose (reference's robust refinement stage, SURVEY.md C12).
 
     Args:
       T_init: (4, 4) initial relative pose (e.g. RANSAC output).
@@ -46,20 +53,26 @@ def refine_pose_bearings(
       weights: (N,) weights; zero = ignored slot (mask discipline).
       iters: fixed Gauss-Newton iteration count.
       damping: Levenberg lambda added to the normal equations.
+      huber_delta: Huber kernel width on |bearing residual| (~rad).
 
     Returns:
       (4, 4) refined pose.
     """
 
-    def residual_vec(delta, T):
+    def residual_vec(delta, T, w):
         T_d = se3_exp(delta) @ T
         r = bearing_residuals(T_d, pts_prev, rays_curr)
-        return (r * weights[:, None]).reshape(-1)
+        return (r * w[:, None]).reshape(-1)
 
     def step(_, T):
         zero = jnp.zeros(6, dtype=T.dtype)
-        J = jax.jacfwd(residual_vec)(zero, T)           # (3N, 6)
-        r = residual_vec(zero, T)                        # (3N,)
+        r_raw = bearing_residuals(T, pts_prev, rays_curr)
+        nrm = jnp.linalg.norm(r_raw, axis=-1)
+        huber_w = jnp.sqrt(jnp.where(nrm <= huber_delta, 1.0,
+                                     huber_delta / jnp.maximum(nrm, 1e-12)))
+        w = weights * huber_w
+        J = jax.jacfwd(residual_vec)(zero, T, w)         # (3N, 6)
+        r = residual_vec(zero, T, w)                     # (3N,)
         H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
         g = J.T @ r
         delta = -jnp.linalg.solve(H, g)

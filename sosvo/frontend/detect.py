@@ -99,16 +99,35 @@ def detect(
         columns wrap so no horizontal border is needed).
     """
     h, w = pano.shape
-    resp = harris_response(gaussian_smooth(pano))
-    resp = nms_local_max(resp, nms_radius)
+    resp_raw = harris_response(gaussian_smooth(pano))
+    resp = nms_local_max(resp_raw, nms_radius)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     in_band = (row_ids >= border_rows) & (row_ids < h - border_rows)
     resp = jnp.where(in_band, resp, -jnp.inf)
 
     flat = resp.reshape(-1)
     vals, idx = jax.lax.top_k(flat, max_features)
-    rows = (idx // w).astype(jnp.float32)
-    cols = (idx % w).astype(jnp.float32)
+    r_i = (idx // w).astype(jnp.int32)
+    c_i = (idx % w).astype(jnp.int32)
     scale = jnp.maximum(jnp.max(vals), 1e-12)
     valid = vals > threshold * scale
+
+    # Subpixel refinement: 1D quadratic fit through the response along each
+    # axis. A raw grid maximum quantizes the bearing to one pano cell
+    # (2*pi/W rad of azimuth), which dominates the whole pipeline's geometric
+    # error budget in image mode; the parabola cuts it ~5-10x.
+    def refined(delta_axis):
+        if delta_axis == 0:
+            m = resp_raw[jnp.clip(r_i - 1, 0, h - 1), c_i]
+            p = resp_raw[jnp.clip(r_i + 1, 0, h - 1), c_i]
+        else:
+            m = resp_raw[r_i, jnp.mod(c_i - 1, w)]
+            p = resp_raw[r_i, jnp.mod(c_i + 1, w)]
+        c0 = resp_raw[r_i, c_i]
+        denom = m - 2.0 * c0 + p
+        off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    rows = r_i.astype(jnp.float32) + refined(0)
+    cols = c_i.astype(jnp.float32) + refined(1)
     return Keypoints(rows=rows, cols=cols, response=vals, valid=valid)

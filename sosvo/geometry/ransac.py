@@ -36,10 +36,17 @@ class RansacResult(NamedTuple):
     ok: jnp.ndarray           # () bool: enough inliers to trust the estimate
 
 
-def sample_minimal_sets(key: jax.Array, valid: jnp.ndarray, n_hyps: int, set_size: int) -> jnp.ndarray:
-    """(H, S) distinct indices into valid slots, uniform via Gumbel-top-k."""
+def sample_minimal_sets(key: jax.Array, valid: jnp.ndarray, n_hyps: int, set_size: int,
+                        logits: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(H, S) distinct indices into valid slots via Gumbel-top-k.
+
+    `logits` (optional, (K,)) biases the per-hypothesis sampling -- e.g.
+    toward near points whose triangulated depth is accurate -- while invalid
+    slots stay excluded. None = uniform over valid slots.
+    """
     k = valid.shape[-1]
-    logit = jnp.where(valid, 0.0, -jnp.inf)
+    base = jnp.zeros((k,), jnp.float32) if logits is None else logits
+    logit = jnp.where(valid, base, -jnp.inf)
     g = jax.random.gumbel(key, (n_hyps, k))
     _, idx = jax.lax.top_k(logit[None, :] + g, set_size)
     return idx.astype(jnp.int32)
@@ -86,8 +93,15 @@ def ransac_rigid(
     minimal sets of 3 matched triangulated points, Umeyama inner solver, refit
     on the best inlier set. Scoring is angular (bearing) when `rays_curr` is
     given -- the depth-robust criterion -- else Euclidean 3D distance.
+
+    Hypothesis sampling is biased toward NEAR points (logits = -2 log depth,
+    i.e. weight ~ 1/depth^2): omnistereo triangulation error grows ~ depth^2
+    over the vertical baseline [P2], so near points produce well-conditioned
+    minimal fits while far points still participate in scoring and refit.
     """
-    idx = sample_minimal_sets(key, valid, n_hyps, 3)
+    depth2 = jnp.sum(pts_prev * pts_prev, axis=-1)
+    idx = sample_minimal_sets(key, valid, n_hyps, 3,
+                              logits=-jnp.log1p(depth2))
     src = pts_prev[idx]  # (H, 3, 3)
     dst = pts_curr[idx]
     T_h, _ = umeyama(src, dst)  # (H, 4, 4)
@@ -100,21 +114,33 @@ def ransac_rigid(
         res = jax.vmap(lambda T: _bearing_residual(T, pts_prev, rays_curr))(T_h)
         thr = angle_threshold
     best, inl, count = _select_best(res, valid, thr)
+    T_best = T_h[best]
 
-    # Refit on the winning inlier set, downweighting far points whose
-    # triangulated depth variance ~ depth^4 dominates the 3D residual.
-    depth2 = jnp.sum(pts_prev * pts_prev, axis=-1)
+    # Refit on the winning inlier set, mildly downweighting far points whose
+    # triangulated depth error ~ depth^2 dominates their 3D residual. (A full
+    # inverse-variance 1/depth^4 weighting over-concentrates on the nearest
+    # few points and can make the refit rotation ill-conditioned.)
     w = inl.astype(pts_prev.dtype) / (1.0 + depth2)
     T_refit, _ = umeyama(pts_prev, pts_curr, weights=w)
-    # Final inlier set under the refit model (same residual type as scoring).
-    if rays_curr is None:
-        res_f = jnp.linalg.norm(transform_points(T_refit, pts_prev) - pts_curr, axis=-1)
-    else:
-        res_f = _bearing_residual(T_refit, pts_prev, rays_curr)
-    inl_f = (res_f < thr) & valid
-    count_f = jnp.sum(inl_f.astype(jnp.int32))
+
+    def inliers_of(T):
+        if rays_curr is None:
+            r = jnp.linalg.norm(transform_points(T, pts_prev) - pts_curr, axis=-1)
+        else:
+            r = _bearing_residual(T, pts_prev, rays_curr)
+        m = (r < thr) & valid
+        return m, jnp.sum(m.astype(jnp.int32))
+
+    # Guard: keep whichever of {best hypothesis, refit} scores more inliers --
+    # a degenerate refit must never lose a good consensus already found.
+    inl_b, cnt_b = inliers_of(T_best)
+    inl_r, cnt_r = inliers_of(T_refit)
+    use_refit = cnt_r >= cnt_b
+    T_sel = jnp.where(use_refit, T_refit, T_best)
+    inl_f = jnp.where(use_refit, inl_r, inl_b)
+    count_f = jnp.maximum(cnt_r, cnt_b)
     ok = count_f >= min_inliers
-    T_final = jnp.where(ok, T_refit, jnp.eye(4, dtype=T_refit.dtype))
+    T_final = jnp.where(ok, T_sel, jnp.eye(4, dtype=T_sel.dtype))
     return RansacResult(T_final, inl_f, count_f, ok)
 
 

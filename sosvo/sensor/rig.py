@@ -45,13 +45,18 @@ def default_rig(image_size: int = 768, baseline: float = 0.12) -> OmnistereoRig:
 
     Parameters are chosen so the two annuli are disjoint in the raw image:
     the top view occupies the outer annulus and the bottom view the inner one,
-    as in the real folded-catadioptric sensor.
+    as in the real folded-catadioptric sensor. The image-radius budget is
+    split to give the bottom (inner) view as much angular resolution as the
+    disjointness constraint allows -- vertical-baseline depth error grows as
+    depth^2 x angular-resolution / baseline, so bottom-view resolution is the
+    sensor's depth-accuracy bottleneck (the design tradeoff [P2] optimizes).
     """
     c = image_size / 2.0 - 0.5
+    s = image_size / 768.0
     top = ViewParams.create(
         xi=0.96,
-        fx=150.0 * image_size / 768.0,
-        fy=150.0 * image_size / 768.0,
+        fx=150.0 * s,
+        fy=150.0 * s,
         cx=c,
         cy=c,
         min_elevation=jnp.deg2rad(-38.0),
@@ -60,12 +65,12 @@ def default_rig(image_size: int = 768, baseline: float = 0.12) -> OmnistereoRig:
     )
     bottom = ViewParams.create(
         xi=0.92,
-        fx=36.0 * image_size / 768.0,
-        fy=36.0 * image_size / 768.0,
+        fx=48.0 * s,
+        fy=48.0 * s,
         cx=c,
         cy=c,
-        min_elevation=jnp.deg2rad(-42.0),
-        max_elevation=jnp.deg2rad(16.0),
+        min_elevation=jnp.deg2rad(-35.0),
+        max_elevation=jnp.deg2rad(12.0),
         z_offset=-baseline,
     )
     return OmnistereoRig(
