@@ -143,7 +143,8 @@ def ba_cost(win: BAWindow, axis_name: str | None = None) -> jnp.ndarray:
     return cost
 
 
-def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None):
+def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
+            anchor: jnp.ndarray | int = 0):
     """One damped LM step: build blocks, Schur-reduce, solve, back-substitute.
 
     Returns the CANDIDATE updated window (caller decides accept/reject).
@@ -151,17 +152,26 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None):
     (S, b_red), psum over the "model" axis, every device solves the small
     replicated camera system identically, then back-substitutes its own
     landmark shard -- embarrassingly parallel.
+
+    `anchor` is the gauge keyframe (may be traced -- the sliding window's
+    ring buffer rotates which slot holds the oldest keyframe).
     """
     W = win.X.shape[0]
     H_cc, H_cl, H_ll, b_c, b_l, _ = build_blocks(win, axis_name)
 
     eye6 = jnp.eye(6, dtype=win.X.dtype)
     eye3 = jnp.eye(3, dtype=win.X.dtype)
+    one_hot = (jnp.arange(W) == anchor).astype(win.X.dtype)
     # Damping/gauge are added AFTER the psum inside build_blocks, so they are
     # applied exactly once and identically on every shard.
     H_cc = H_cc + lam * eye6[None]
-    # Gauge: clamp keyframe 0 with a huge prior so the window is anchored.
-    H_cc = H_cc.at[0].add(GAUGE_PRIOR * eye6)
+    # Gauge: clamp the anchor keyframe with a huge prior so the window is
+    # anchored. Unobserved pose slots (all-zero rows) also get the prior so
+    # the reduced system stays nonsingular.
+    row_support = jnp.sum(jnp.abs(b_c), axis=-1) + jnp.sum(jnp.abs(H_cl), axis=(1, 2, 3))
+    unobserved = (row_support == 0.0).astype(win.X.dtype)
+    clamp = jnp.maximum(one_hot, unobserved)
+    H_cc = H_cc + (GAUGE_PRIOR * clamp)[:, None, None] * eye6[None]
     H_ll = H_ll + lam * eye3[None]
 
     H_ll_inv = jnp.linalg.inv(H_ll)                     # (L, 3, 3) tiny batched
@@ -170,7 +180,7 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None):
     # Dense solve of the reduced (6W, 6W) camera system -- cameras are few.
     S_flat = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
     delta_c = -jnp.linalg.solve(S_flat, b_red.reshape(6 * W)).reshape(W, 6)
-    delta_c = delta_c.at[0].set(0.0)                    # exact gauge clamp
+    delta_c = delta_c * (1.0 - clamp)[:, None]          # exact gauge clamp
 
     delta_l = back_substitute(H_ll_inv, H_cl, b_l, delta_c)  # (L, 3)
 
@@ -180,7 +190,7 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None):
 
 
 def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
-             axis_name: str | None = None) -> BAResult:
+             axis_name: str | None = None, anchor: jnp.ndarray | int = 0) -> BAResult:
     """Levenberg-Marquardt with multiplicative damping adaptation.
 
     Accept a step iff it lowers the cost (then lam /= 3), else keep the old
@@ -206,8 +216,8 @@ def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
 
     def body(carry, _):
         w, lam, cost = carry
-        cand = lm_step(w, lam)
-        cand_cost = ba_cost(cand)
+        cand = lm_step(w, lam, axis_name, anchor)
+        cand_cost = ba_cost(cand, axis_name)
         accept = cand_cost < cost
         w_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, w)
         lam_next = jnp.where(accept, lam / 3.0, lam * 9.0)

@@ -1,0 +1,202 @@
+"""Fused Pallas TPU kernel for Hamming descriptor matching (hot loop C7).
+
+One of the two hot loops BASELINE.json:5 names ("Pallas kernels for the
+match/score ... hot loops"). The XLA reference path
+(`sosvo/frontend/match.py`) materializes the full (KA, KB) distance matrix in
+HBM; at K = 2048 that is 16 MB written + read back per matcher call, twice
+per frame. This kernel streams column tiles through VMEM flash-attention
+style and reduces on the fly, so HBM traffic drops from O(KA*KB) to
+O((KA+KB) * 256 bits) -- the descriptors themselves -- which is the
+speed-of-light floor for this op.
+
+Per column tile (128 B-features):
+  1. distance tile on the MXU: d = (NBITS - a_pm1 @ b_pm1^T) / 2, where
+     a_pm1/b_pm1 are the 256-bit descriptors unpacked to +/-1 bf16 (exact in
+     f32 accumulation for NBITS <= 256);
+  2. the stereo azimuth-band penalty and validity masking are fused
+     elementwise on the tile (the (KA, KB) penalty matrix is never built);
+  3. running per-row best/second-best/argmin and per-column argmin are
+     updated in registers/VMEM.
+
+Outputs feed the identical ratio-test + cross-check epilogue as the XLA
+path, so kernel equivalence is testable bit-for-bit (SURVEY.md section 4.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sosvo.frontend.match import BIG, NBITS, MatchResult, unpack_bits_pm1
+
+TILE = 128
+
+
+def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
+                  dbest_ref, dsecond_ref, ibest_ref, colmin_ref):
+    """Stream KB column tiles; reduce row/col statistics on the fly.
+
+    Refs:
+      band_ref: (1, 1) SMEM f32 -- azimuth band half-width (rad); <= 0 means
+        no band constraint (temporal matching).
+      a_ref: (KA, NBITS) bf16 +/-1 unpacked descriptors.
+      b_ref: (KB, NBITS) bf16.
+      aza_ref: (KA, 1) f32 azimuths; azb_ref: (KB, 1).
+      va_ref: (KA, 1) f32 validity (1/0); vb_ref: (KB, 1).
+      dbest_ref, dsecond_ref: (KA, 1) f32 outputs.
+      ibest_ref: (KA, 1) int32 output -- argmin_b of each row.
+      colmin_ref: (KB, 1) int32 output -- argmin_a of each column.
+    """
+    ka = a_ref.shape[0]
+    kb = b_ref.shape[0]
+    n_tiles = kb // TILE
+    band = band_ref[0, 0]
+    big = float(BIG)  # python float: jnp constants cannot be captured by kernels
+    two_pi = 2.0 * float(jnp.pi)
+
+    a = a_ref[:]                               # (KA, NBITS) bf16
+    az_a = aza_ref[:]                          # (KA, 1)
+    pen_a = (1.0 - va_ref[:]) * big            # (KA, 1)
+
+    def body(j, carry):
+        dbest, dsecond, ibest = carry
+        b_t = b_ref[pl.ds(j * TILE, TILE), :]  # (TILE, NBITS)
+        dot = jax.lax.dot_general(
+            a, b_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                      # (KA, TILE)
+        d = (NBITS - dot) * 0.5
+
+        # Fused penalties: invalid rows/cols + optional azimuth band.
+        az_b = azb_ref[pl.ds(j * TILE, TILE), :]            # (TILE, 1)
+        pen_b = (1.0 - vb_ref[pl.ds(j * TILE, TILE), :]) * big
+        d = d + pen_a + pen_b.reshape(1, TILE)
+        diff = az_a - az_b.reshape(1, TILE)                 # (KA, TILE)
+        diff = diff - two_pi * jnp.round(diff / two_pi)     # wrap to [-pi, pi]
+        band_pen = jnp.where(jnp.abs(diff) <= band, 0.0, big)
+        d = d + jnp.where(band > 0.0, band_pen, 0.0)
+
+        # Per-column argmin over ALL rows (KA is a single block).
+        colmin_ref[pl.ds(j * TILE, TILE), 0] = jnp.argmin(d, axis=0).astype(jnp.int32)
+
+        # Per-row best/second-best merge with the running state.
+        m1 = jnp.min(d, axis=1, keepdims=True)              # (KA, 1)
+        i1 = jnp.argmin(d, axis=1).astype(jnp.int32).reshape(ka, 1) + j * TILE
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (ka, TILE), 1)
+        d_masked = jnp.where(col_ids == (i1 - j * TILE), jnp.inf, d)
+        m2 = jnp.min(d_masked, axis=1, keepdims=True)       # tile second-best
+
+        new_best = jnp.minimum(dbest, m1)
+        new_ibest = jnp.where(m1 < dbest, i1, ibest)
+        new_second = jnp.minimum(jnp.minimum(dsecond, m2), jnp.maximum(dbest, m1))
+        return new_best, new_second, new_ibest
+
+    init = (
+        jnp.full((ka, 1), jnp.inf, jnp.float32),
+        jnp.full((ka, 1), jnp.inf, jnp.float32),
+        jnp.zeros((ka, 1), jnp.int32),
+    )
+    dbest, dsecond, ibest = jax.lax.fori_loop(0, n_tiles, body, init)
+    dbest_ref[:] = dbest
+    dsecond_ref[:] = dsecond
+    ibest_ref[:] = ibest
+
+
+def _pad_to(x: jnp.ndarray, n: int, fill) -> jnp.ndarray:
+    k = x.shape[0]
+    if k == n:
+        return x
+    pad = jnp.full((n - k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def match_stats_pallas(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    az_a: jnp.ndarray | None = None,
+    az_b: jnp.ndarray | None = None,
+    band: float | jnp.ndarray = 0.0,
+    interpret: bool = False,
+):
+    """Fused matcher statistics: (d_best, d_second, idx_b, col_argmin).
+
+    Semantics identical to reducing the XLA path's penalized distance matrix
+    (`sosvo/frontend/match.py`): invalid rows/cols and out-of-band pairs get
+    +BIG. `band` <= 0 disables the azimuth-band constraint.
+    """
+    ka, kb = desc_a.shape[0], desc_b.shape[0]
+    ka_p = pl.cdiv(ka, TILE) * TILE
+    kb_p = pl.cdiv(kb, TILE) * TILE
+
+    a = _pad_to(unpack_bits_pm1(desc_a), ka_p, jnp.bfloat16(0))
+    b = _pad_to(unpack_bits_pm1(desc_b), kb_p, jnp.bfloat16(0))
+    va = _pad_to(valid_a.astype(jnp.float32)[:, None], ka_p, 0.0)
+    vb = _pad_to(valid_b.astype(jnp.float32)[:, None], kb_p, 0.0)
+    aza = jnp.zeros((ka, 1), jnp.float32) if az_a is None else az_a.astype(jnp.float32)[:, None]
+    azb = jnp.zeros((kb, 1), jnp.float32) if az_b is None else az_b.astype(jnp.float32)[:, None]
+    aza = _pad_to(aza, ka_p, 0.0)
+    azb = _pad_to(azb, kb_p, 0.0)
+    band_arr = jnp.asarray(band, jnp.float32).reshape(1, 1)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((ka_p, 1), jnp.float32),   # d_best
+        jax.ShapeDtypeStruct((ka_p, 1), jnp.float32),   # d_second
+        jax.ShapeDtypeStruct((ka_p, 1), jnp.int32),     # idx_b
+        jax.ShapeDtypeStruct((kb_p, 1), jnp.int32),     # col_argmin
+    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dbest, dsecond, ibest, colmin = pl.pallas_call(
+        _match_kernel,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # band scalar
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+        ],
+        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ka_p * kb_p * NBITS,
+            bytes_accessed=(ka_p + kb_p) * (NBITS // 8 + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(band_arr, a, b, aza, azb, va, vb)
+    return (dbest[:ka, 0], dsecond[:ka, 0], ibest[:ka, 0], colmin[:kb, 0])
+
+
+def match_pallas(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    max_distance: float = 64.0,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+    az_a: jnp.ndarray | None = None,
+    az_b: jnp.ndarray | None = None,
+    band: float = 0.0,
+    interpret: bool = False,
+) -> MatchResult:
+    """Drop-in fused replacement for `sosvo.frontend.match.match`.
+
+    The stereo column-band constraint is expressed via (az_a, az_b, band)
+    instead of a dense penalty matrix; everything else matches the XLA
+    matcher's semantics (ratio test with strict inequality, cross-check,
+    distance threshold, validity masks).
+    """
+    d_best, d_second, idx_b, col_argmin = match_stats_pallas(
+        desc_a, desc_b, valid_a, valid_b, az_a, az_b, band, interpret=interpret
+    )
+    ka = desc_a.shape[0]
+    ok = valid_a & (d_best <= max_distance) & (d_best < ratio * d_second)
+    if cross_check:
+        row_ids = jnp.arange(ka, dtype=jnp.int32)
+        ok = ok & (col_argmin[idx_b] == row_ids)
+    return MatchResult(idx_b=idx_b, dist=d_best, valid=ok)

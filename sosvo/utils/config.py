@@ -48,6 +48,7 @@ class BAConfig:
 
     window: int = 5                  # keyframe window size W
     max_landmarks: int = 512         # landmark slots per window
+    max_new: int = 96                # max landmark insertions per keyframe
     iters: int = 5                   # LM outer iterations
     damping_init: float = 1e-3
     use_pallas_schur: bool = False

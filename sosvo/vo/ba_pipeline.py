@@ -1,0 +1,104 @@
+"""VO with sliding-window bundle adjustment (benchmark config c2 core).
+
+Wraps the frame-to-frame step (`sosvo/vo/pipeline.py`) with the keyframe map
+manager (`sosvo/vo/keyframes.py`): every `keyframe_every`-th frame becomes a
+keyframe -- landmarks are associated/inserted and the W-keyframe window is
+refined by Schur-complement LM BA -- all inside `lax.cond` so the whole
+replay remains ONE jitted scan (the reference would cross a scipy
+least-squares boundary here per window; SURVEY.md C13).
+
+The BA pose correction feeds back into the tracking state: the current pose
+is re-read from the refined window, so subsequent frame-to-frame estimates
+compound on the optimized trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.geom.lie import mat_inv
+from sosvo.sensor.rig import OmnistereoRig
+from sosvo.synth.scene import FrameObservations
+from sosvo.utils.config import PipelineConfig
+from sosvo.vo.keyframes import MapState, init_map_state, insert_keyframe, run_window_ba
+from sosvo.vo.pipeline import step_full
+from sosvo.vo.state import StepOutput, TrackState, init_track_state
+
+
+class BAState(NamedTuple):
+    track: TrackState
+    map: MapState
+
+
+class BAStepOutput(NamedTuple):
+    vo: StepOutput
+    is_keyframe: jnp.ndarray  # () bool
+    ba_cost: jnp.ndarray      # () f32 (0 when not a keyframe)
+    n_landmarks: jnp.ndarray  # () int32 active landmark count
+
+
+def init_ba_state(cfg: PipelineConfig, key: jax.Array, T0=None) -> BAState:
+    return BAState(
+        track=init_track_state(cfg.frontend.max_features, key, T0=T0),
+        map=init_map_state(cfg.ba.window, cfg.ba.max_landmarks),
+    )
+
+
+def step_ba(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    state: BAState,
+    obs: FrameObservations,
+) -> tuple[BAState, BAStepOutput]:
+    """One frame with keyframe/BA logic. Pure; jit/scan-safe."""
+    track, out, feats = step_full(rig, cfg, state.track, obs)
+    frame = track.frame_idx - 1  # index of the frame just processed
+
+    is_kf = jnp.mod(frame, cfg.keyframe_every) == 0
+
+    def do_keyframe(m: MapState):
+        m = insert_keyframe(
+            m, track.T_world, feats, frame,
+            max_new=cfg.ba.max_new,
+            match_max_distance=cfg.frontend.match_max_distance,
+            match_ratio=cfg.frontend.match_ratio,
+        )
+        # Skip BA until the window has >= 2 keyframes (nothing to adjust).
+        def ba(mm):
+            mm2, cost = run_window_ba(rig, mm, iters=cfg.ba.iters)
+            return mm2, cost
+
+        m, cost = jax.lax.cond(m.n_kf >= 2, ba, lambda mm: (mm, jnp.float32(0.0)), m)
+        T_corr = mat_inv(m.kf_X[m.head])
+        return m, T_corr, cost
+
+    def no_keyframe(m: MapState):
+        return m, track.T_world, jnp.float32(0.0)
+
+    map2, T_w, cost = jax.lax.cond(is_kf, do_keyframe, no_keyframe, state.map)
+    track = track._replace(T_world=T_w)
+
+    out2 = BAStepOutput(
+        vo=out._replace(T_world=T_w),
+        is_keyframe=is_kf,
+        ba_cost=cost,
+        n_landmarks=jnp.sum(map2.lm_valid.astype(jnp.int32)),
+    )
+    return BAState(track=track, map=map2), out2
+
+
+def run_replay_ba(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    state: BAState,
+    obs_seq: FrameObservations,
+) -> tuple[BAState, BAStepOutput]:
+    """Replay with windowed BA; outputs stacked per frame."""
+
+    def body(s, o):
+        return step_ba(rig, cfg, s, o)
+
+    return jax.lax.scan(body, state, obs_seq)

@@ -29,6 +29,7 @@ from sosvo.sensor.model import viewpoint
 from sosvo.sensor.rig import OmnistereoRig
 from sosvo.synth.scene import FrameObservations
 from sosvo.utils.config import PipelineConfig
+from sosvo.vo.keyframes import KeyframeFeatures
 from sosvo.vo.state import StepOutput, TrackState
 
 
@@ -63,20 +64,22 @@ def stereo_triangulate(rig: OmnistereoRig, obs: FrameObservations, cfg: Pipeline
         max_gap=cfg.max_ray_gap,
     )
     valid = m.valid & tri.valid
-    return tri.points, obs.desc_top, obs.ray_top, az_t, valid
+    return tri.points, obs.desc_top, obs.ray_top, az_t, valid, ray_b
 
 
-def step(
+def step_full(
     rig: OmnistereoRig,
     cfg: PipelineConfig,
     state: TrackState,
     obs: FrameObservations,
-) -> tuple[TrackState, StepOutput]:
-    """One VO frame: returns (new_state, output). Pure; jit/scan/vmap-safe."""
+) -> tuple[TrackState, StepOutput, "KeyframeFeatures"]:
+    """One VO frame; also returns the frame's triangulated features so the
+    keyframe/BA layer (`sosvo/vo/keyframes.py`) can consume them without
+    recomputing the frontend."""
     key, k_ransac, k_ess = jax.random.split(state.key, 3)
 
     # --- stereo + triangulation (SURVEY.md SS3.2) ---
-    pts, desc, rays, az, valid = stereo_triangulate(rig, obs, cfg)
+    pts, desc, rays, az, valid, ray_b = stereo_triangulate(rig, obs, cfg)
     n_stereo = jnp.sum(valid.astype(jnp.int32))
 
     # --- temporal match: previous frame's points vs current features ---
@@ -144,6 +147,19 @@ def step(
         pose_ok=pose_ok,
         ess_angle_err=ess_angle,
     )
+    feats = KeyframeFeatures(pts_rig=pts, desc=desc, ray_top=rays,
+                             ray_bottom=ray_b, valid=valid)
+    return new_state, out, feats
+
+
+def step(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    state: TrackState,
+    obs: FrameObservations,
+) -> tuple[TrackState, StepOutput]:
+    """One VO frame: returns (new_state, output). Pure; jit/scan/vmap-safe."""
+    new_state, out, _ = step_full(rig, cfg, state, obs)
     return new_state, out
 
 
