@@ -1,0 +1,165 @@
+"""Pose-graph optimization over SE(3) edge constraints (SURVEY.md C14).
+
+Global trajectory relaxation for loop closures (benchmark config c3,
+BASELINE.json:9) -- absent from the reference's online path, mandated by the
+north star. Idiomatic JAX shape discipline: a FIXED-size graph (N node slots,
+E edge slots, validity masks), per-edge residuals/Jacobians batched with
+vmap + autodiff over both endpoint tangents, normal equations assembled by
+batched scatter-add into dense (N, N, 6, 6) blocks, damped Gauss-Newton with
+accept/reject inside lax.scan.
+
+Distribution (SURVEY.md P4-SP, "time-axis sharding"): the edge set is the
+work axis. Under shard_map each device holds an edge shard (node states
+replicated -- they are small), computes its partial (H, b), and the partials
+are psummed; the dense solve then runs replicated. The contraction over edges
+commutes with psum exactly as BA's landmark contraction does.
+
+Residual convention: nodes store X = rig-from-world; an edge (i, j) measures
+T_meas ~= X_i @ X_j^-1, and the residual is the right-invariant log error
+    r = se3_log(T_meas^-1 @ X_i @ X_j^-1)        in R^6.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.geom.lie import mat_inv, se3_exp, se3_log
+
+GAUGE_PRIOR = 1e8
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-size pose graph (pytree)."""
+
+    X: jnp.ndarray        # (N, 4, 4) rig-from-world node poses
+    node_valid: jnp.ndarray  # (N,) bool
+    ei: jnp.ndarray       # (E,) int32 edge endpoint i
+    ej: jnp.ndarray       # (E,) int32 edge endpoint j
+    T_meas: jnp.ndarray   # (E, 4, 4) measured X_i @ X_j^-1
+    w: jnp.ndarray        # (E,) edge weights; 0 = unused slot
+
+
+class PGOResult(NamedTuple):
+    X: jnp.ndarray
+    cost: jnp.ndarray
+    cost0: jnp.ndarray
+    accepted: jnp.ndarray
+
+
+def edge_residual(X_i: jnp.ndarray, X_j: jnp.ndarray, T_meas: jnp.ndarray) -> jnp.ndarray:
+    """(6,) SE(3) log of the edge error."""
+    return se3_log(mat_inv(T_meas) @ X_i @ mat_inv(X_j))
+
+
+def _edge_jacobians(X_i, X_j, T_meas, w):
+    """Weighted residual + Jacobians wrt the two endpoint tangents."""
+
+    def res(di, dj):
+        return w * edge_residual(se3_exp(di) @ X_i, se3_exp(dj) @ X_j, T_meas)
+
+    zero = jnp.zeros(6, dtype=X_i.dtype)
+    r = res(zero, zero)
+    J_i, J_j = jax.jacfwd(res, argnums=(0, 1))(zero, zero)  # (6,6) each
+    return r, J_i, J_j
+
+
+def build_system(g: PoseGraph, axis_name: str | None = None):
+    """Assemble (H, b, cost) of the damped GN normal equations.
+
+    Under edge sharding (`axis_name` inside shard_map), the per-shard partial
+    sums are psummed -- H/b are sums over edges.
+    """
+    N = g.X.shape[0]
+    r, J_i, J_j = jax.vmap(_edge_jacobians)(g.X[g.ei], g.X[g.ej], g.T_meas, g.w)
+
+    Hii = jnp.einsum("eri,erj->eij", J_i, J_i)
+    Hjj = jnp.einsum("eri,erj->eij", J_j, J_j)
+    Hij = jnp.einsum("eri,erj->eij", J_i, J_j)
+    bi = jnp.einsum("eri,er->ei", J_i, r)
+    bj = jnp.einsum("eri,er->ei", J_j, r)
+
+    H = jnp.zeros((N, N, 6, 6), g.X.dtype)
+    H = H.at[g.ei, g.ei].add(Hii)
+    H = H.at[g.ej, g.ej].add(Hjj)
+    H = H.at[g.ei, g.ej].add(Hij)
+    H = H.at[g.ej, g.ei].add(jnp.swapaxes(Hij, -1, -2))
+    b = jnp.zeros((N, 6), g.X.dtype)
+    b = b.at[g.ei].add(bi)
+    b = b.at[g.ej].add(bj)
+    cost = 0.5 * jnp.sum(r * r)
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+    return H, b, cost
+
+
+def pgo_cost(g: PoseGraph, axis_name: str | None = None) -> jnp.ndarray:
+    r = jax.vmap(lambda Xi, Xj, Tm, w: w * edge_residual(Xi, Xj, Tm))(
+        g.X[g.ei], g.X[g.ej], g.T_meas, g.w)
+    cost = 0.5 * jnp.sum(r * r)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return cost
+
+
+def _gn_step(g: PoseGraph, lam, axis_name, anchor):
+    N = g.X.shape[0]
+    H, b, _ = build_system(g, axis_name)
+    eye6 = jnp.eye(6, dtype=g.X.dtype)
+    one_hot = (jnp.arange(N) == anchor).astype(g.X.dtype)
+    # Invalid node slots get the gauge prior too so H stays nonsingular.
+    clamp = jnp.maximum(one_hot, 1.0 - g.node_valid.astype(g.X.dtype))
+    diag = (lam + GAUGE_PRIOR * clamp)[..., None, None] * eye6
+    H = H + jnp.eye(N, dtype=g.X.dtype)[:, :, None, None] * diag[:, None]
+
+    H_flat = H.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+    delta = -jnp.linalg.solve(H_flat, b.reshape(6 * N)).reshape(N, 6)
+    delta = delta * (1.0 - clamp)[:, None]
+    X_new = jnp.einsum("nij,njk->nik", se3_exp(delta), g.X)
+    return g._replace(X=X_new)
+
+
+def pgo_solve(g: PoseGraph, iters: int = 10, lam0: float = 1e-4,
+              axis_name: str | None = None,
+              anchor: jnp.ndarray | int = 0) -> PGOResult:
+    """Damped GN with accept/reject, fixed iteration count (lax.scan)."""
+    cost0 = pgo_cost(g, axis_name)
+    lam = jnp.asarray(lam0, g.X.dtype)
+
+    if axis_name is not None:
+        def _to_varying(a):
+            a = jnp.asarray(a)
+            if axis_name in getattr(jax.typeof(a), "vma", ()):
+                return a
+            return jax.lax.pcast(a, axis_name, to="varying")
+
+        g, lam, cost0 = jax.tree.map(_to_varying, (g, lam, cost0))
+
+    def body(carry, _):
+        gg, lam, cost = carry
+        cand = _gn_step(gg, lam, axis_name, anchor)
+        cand_cost = pgo_cost(cand, axis_name)
+        accept = cand_cost < cost
+        g_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, gg)
+        lam_next = jnp.clip(jnp.where(accept, lam / 3.0, lam * 9.0), 1e-9, 1e4)
+        return (g_next, lam_next, jnp.where(accept, cand_cost, cost)), accept
+
+    (g_fin, _, cost_fin), accepted = jax.lax.scan(
+        body, (g, lam, cost0), None, length=iters)
+    return PGOResult(X=g_fin.X, cost=cost_fin, cost0=cost0, accepted=accepted)
+
+
+# ---------------------------------------------------------------- builders
+
+def odometry_edges(X: jnp.ndarray, node_valid: jnp.ndarray, weight: float = 1.0):
+    """Consecutive-node odometry edges from current estimates: (ei, ej, T, w)."""
+    n = X.shape[0]
+    ei = jnp.arange(1, n, dtype=jnp.int32)
+    ej = jnp.arange(0, n - 1, dtype=jnp.int32)
+    T = jnp.einsum("nij,njk->nik", X[ei], jax.vmap(mat_inv)(X[ej]))
+    w = jnp.where(node_valid[ei] & node_valid[ej], weight, 0.0)
+    return ei, ej, T, w

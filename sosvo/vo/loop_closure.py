@@ -1,0 +1,170 @@
+"""Loop-closure detection + pose-graph trajectory refinement (config c3).
+
+The reference has no loop closing (frame-to-frame VO [P1]); BASELINE.json:9
+mandates "pose-graph optimization + loop constraints". Pipeline:
+
+  1. keyframes at a fixed stride over the replayed sequence;
+  2. loop candidates = all keyframe pairs at least `min_gap` keyframes apart
+     (a STATIC pair list -- fixed shapes, vmapped batch processing);
+  3. per pair: Hamming match of the two keyframes' stereo features + 3D-3D
+     bearing-scored RANSAC; pairs with enough inliers become SE(3) edges
+     weighted by inlier count;
+  4. pose graph = VO odometry edges between consecutive keyframes + accepted
+     loop edges; damped-GN relaxation (`sosvo/backend/pose_graph.py`);
+  5. every frame's pose is corrected rigidly with its governing keyframe.
+
+Everything after the static pair enumeration is one jitted program; the pair
+batch is the natural "data" axis for sharding loop detection across chips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.backend.ba import BAWindow, ba_solve
+from sosvo.backend.pose_graph import PoseGraph, pgo_solve
+from sosvo.frontend.match import match
+from sosvo.geom.lie import mat_inv
+from sosvo.geometry.ransac import ransac_rigid
+from sosvo.sensor.model import viewpoint
+from sosvo.sensor.rig import OmnistereoRig
+from sosvo.synth.scene import FrameObservations
+from sosvo.utils.config import PipelineConfig
+from sosvo.vo.pipeline import stereo_triangulate
+
+
+def keyframe_indices(n_frames: int, keyframe_every: int) -> np.ndarray:
+    return np.arange(0, n_frames, keyframe_every)
+
+
+def loop_pairs(n_kf: int, min_gap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (i, j) candidate pairs with j - i >= min_gap."""
+    ii, jj = np.meshgrid(np.arange(n_kf), np.arange(n_kf), indexing="ij")
+    m = (jj - ii) >= min_gap
+    return ii[m].astype(np.int32), jj[m].astype(np.int32)
+
+
+def _kf_features(rig: OmnistereoRig, cfg: PipelineConfig, obs_kf: FrameObservations):
+    """Stereo-triangulated features for each keyframe (vmapped)."""
+
+    def one(o):
+        pts, desc, rays, az, valid, ray_b = stereo_triangulate(rig, o, cfg)
+        return pts, desc, rays, ray_b, valid
+
+    return jax.vmap(one)(obs_kf)
+
+
+def detect_loops(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    obs_kf: FrameObservations,
+    min_gap: int = 3,
+    min_inliers: int = 30,
+    key: jax.Array | None = None,
+):
+    """Loop edges between keyframes: (ei, ej, T_meas, w) with w=0 for misses.
+
+    Edge semantics match `sosvo/backend/pose_graph.py`: an accepted pair
+    (i, j) yields an edge with endpoints (ei=j, ej=i) measuring
+    X_j @ X_i^-1 (the RANSAC relative pose mapping i-frame points to j).
+    """
+    n_kf = obs_kf.valid_top.shape[0]
+    pi, pj = loop_pairs(n_kf, min_gap)
+    if key is None:
+        key = jax.random.PRNGKey(17)
+    pts, desc, ray_t, ray_b, valid = _kf_features(rig, cfg, obs_kf)
+    keys = jax.random.split(key, pi.shape[0])
+    vps = jnp.stack([viewpoint(rig.top), viewpoint(rig.bottom)])
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+
+    def one_pair(i, j, k):
+        m = match(desc[i], desc[j], valid[i], valid[j],
+                  max_distance=cfg.frontend.match_max_distance,
+                  ratio=cfg.frontend.match_ratio)
+        pair_valid = m.valid & valid[i] & valid[j][m.idx_b]
+        rays_j = ray_t[j][m.idx_b]
+        rr = ransac_rigid(
+            k, pts[i], pts[j][m.idx_b], pair_valid,
+            rays_curr=rays_j,
+            n_hyps=cfg.ransac.n_hyps,
+            angle_threshold=cfg.ransac.rigid_angle_threshold,
+            min_inliers=min_inliers,
+        )
+        # Two-frame bundle adjustment on the inliers: a raw pairwise pose is
+        # biased by frame-i triangulation depth noise, which (unlike the
+        # adjacent-frame case) does NOT cancel across a wide loop baseline.
+        # Letting the matched points float, constrained by all four bearings
+        # (2 frames x 2 views), removes that bias -- loop edges must be more
+        # accurate than the drift they correct or PGO makes things worse.
+        w_obs = (rr.inliers & pair_valid).astype(jnp.float32)
+        rays4 = jnp.stack([
+            jnp.stack([ray_t[i], ray_b[i]], axis=1),                      # frame i
+            jnp.stack([rays_j, ray_b[j][m.idx_b]], axis=1),               # frame j
+        ])                                                                # (2, K, 2, 3)
+        win = BAWindow(
+            X=jnp.stack([eye4, rr.model]),
+            landmarks=pts[i],
+            rays=rays4,
+            weights=jnp.broadcast_to(w_obs[None, :, None], (2, w_obs.shape[0], 2)),
+            viewpoints=vps,
+        )
+        res = ba_solve(win, iters=4, anchor=0)
+        T_edge = jnp.where(rr.ok, res.X[1], rr.model)
+        w = jnp.where(rr.ok, jnp.minimum(rr.num_inliers.astype(jnp.float32) / min_inliers, 4.0), 0.0)
+        return T_edge, w
+
+    T_meas, w = jax.vmap(one_pair)(jnp.asarray(pi), jnp.asarray(pj), keys)
+    return jnp.asarray(pj), jnp.asarray(pi), T_meas, w
+
+
+def pgo_refine_trajectory(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    obs_seq: FrameObservations,
+    T_world_seq: jnp.ndarray,
+    min_gap: int = 3,
+    min_inliers: int = 30,
+    iters: int = 10,
+    odom_weight: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Close loops over a replayed trajectory; returns (corrected poses, n_loops).
+
+    `T_world_seq`: (F, 4, 4) world-from-rig VO estimates. Non-keyframe poses
+    are corrected rigidly with their governing (preceding) keyframe.
+    """
+    n_frames = T_world_seq.shape[0]
+    kf_idx = keyframe_indices(n_frames, cfg.keyframe_every)
+    obs_kf = jax.tree.map(lambda x: x[kf_idx], obs_seq)
+    X_kf = jax.vmap(mat_inv)(T_world_seq[kf_idx])
+    n_kf = len(kf_idx)
+
+    # Odometry edges between consecutive keyframes from the VO estimates.
+    oi = jnp.arange(1, n_kf, dtype=jnp.int32)
+    oj = jnp.arange(0, n_kf - 1, dtype=jnp.int32)
+    T_odom = jnp.einsum("nij,njk->nik", X_kf[oi], jax.vmap(mat_inv)(X_kf[oj]))
+    w_odom = jnp.full((n_kf - 1,), odom_weight, jnp.float32)
+
+    li, lj, T_loop, w_loop = detect_loops(rig, cfg, obs_kf, min_gap, min_inliers)
+
+    g = PoseGraph(
+        X=X_kf,
+        node_valid=jnp.ones((n_kf,), bool),
+        ei=jnp.concatenate([oi, li]),
+        ej=jnp.concatenate([oj, lj]),
+        T_meas=jnp.concatenate([T_odom, T_loop]),
+        w=jnp.concatenate([w_odom, w_loop]),
+    )
+    res = pgo_solve(g, iters=iters)
+
+    # Rigid per-segment correction: frame f governed by keyframe k(f).
+    gov = jnp.asarray(np.minimum(np.arange(n_frames) // cfg.keyframe_every,
+                                 n_kf - 1), jnp.int32)
+    T_kf_old = T_world_seq[kf_idx]                       # world-from-rig (old)
+    T_kf_new = jax.vmap(mat_inv)(res.X)                  # world-from-rig (new)
+    corr = jnp.einsum("nij,njk->nik", T_kf_new, jax.vmap(mat_inv)(T_kf_old))
+    T_corrected = jnp.einsum("fij,fjk->fik", corr[gov], T_world_seq)
+    n_loops = jnp.sum((w_loop > 0).astype(jnp.int32))
+    return T_corrected, n_loops

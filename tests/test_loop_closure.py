@@ -1,0 +1,54 @@
+"""Loop closure + PGO over a replayed noisy trajectory (config c3 path)."""
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.eval.ate import ate_rmse
+from sosvo.sensor.rig import default_rig
+from sosvo.synth.scene import make_scene, observe_sequence
+from sosvo.utils.config import PipelineConfig
+from sosvo.vo.loop_closure import detect_loops, pgo_refine_trajectory
+from sosvo.vo.pipeline import run_replay
+from sosvo.vo.state import init_track_state
+
+F, K = 48, 384
+
+
+def _noisy_replay():
+    rig = default_rig()
+    scene = make_scene(jax.random.PRNGKey(3), n_frames=F, n_landmarks=4096)
+    obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(4),
+                           pixel_noise=0.4, desc_flip_prob=0.02)
+    cfg = PipelineConfig()
+    st = init_track_state(K, jax.random.PRNGKey(5), T0=scene.poses[0])
+    _, outs = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))(st, obs)
+    return rig, cfg, scene, obs, outs
+
+
+def test_pgo_refinement_reduces_drift():
+    rig, cfg, scene, obs, outs = _noisy_replay()
+    T_vo = outs.T_world
+    T_pgo, n_loops = jax.jit(
+        lambda o, T: pgo_refine_trajectory(rig, cfg, o, T, min_gap=3, min_inliers=30)
+    )(obs, T_vo)
+    assert int(n_loops) > 3, int(n_loops)
+
+    gt = scene.poses[1:, :3, 3]
+    r_vo, _ = ate_rmse(T_vo[1:, :3, 3], gt)
+    r_pgo, _ = ate_rmse(T_pgo[1:, :3, 3], gt)
+    assert float(r_pgo) < float(r_vo), (float(r_pgo), float(r_vo))
+    assert float(r_pgo) < 0.05
+
+
+def test_detect_loops_rejects_when_unmatchable():
+    """Keyframes with disjoint descriptor content must yield no loop edges."""
+    rig, cfg, scene, obs, outs = _noisy_replay()
+    kf = jax.tree.map(lambda x: x[:: cfg.keyframe_every][:4], obs)
+    # Scramble descriptors of half the keyframes -> matching collapses.
+    key = jax.random.PRNGKey(9)
+    kf = kf._replace(
+        desc_top=jax.random.bits(key, kf.desc_top.shape, dtype=jnp.uint32),
+        desc_bottom=jax.random.bits(key, kf.desc_bottom.shape, dtype=jnp.uint32),
+    )
+    _, _, _, w = detect_loops(rig, cfg, kf, min_gap=2, min_inliers=30)
+    assert int(jnp.sum((w > 0).astype(jnp.int32))) == 0
