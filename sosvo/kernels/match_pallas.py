@@ -69,6 +69,11 @@ def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
             a, b_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # DEFAULT, explicitly: the package sets jax_default_matmul_precision
+            # to "highest", whose fp32 contract precision Mosaic rejects for
+            # bf16 operands ("Bad lhs type"). bf16 x bf16 -> f32 accumulation
+            # is exact for +/-1 vectors of length <= 256, so DEFAULT is safe.
+            precision=jax.lax.Precision.DEFAULT,
         )                                      # (KA, TILE)
         d = (NBITS - dot) * 0.5
 

@@ -1,0 +1,70 @@
+"""Calibration parameter IO: JSON <-> OmnistereoRig (SURVEY.md C16).
+
+The reference fits GUM parameters with a chessboard toolchain and pickles the
+model [K]; this framework CONSUMES calibrated parameters (full refit is a
+documented v1 non-goal, SURVEY.md C16) through a plain-JSON schema, so a
+reference-calibrated sensor can be ported by writing one small file. The
+synthetic generator's exact rig round-trips through the same schema.
+
+Schema:
+{
+  "image_height": 768, "image_width": 768, "baseline": 0.12,
+  "top":    {"xi": ..., "fx": ..., "fy": ..., "cx": ..., "cy": ...,
+             "min_elevation_deg": ..., "max_elevation_deg": ..., "z_offset": 0.0},
+  "bottom": {...}
+}
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from sosvo.sensor.model import ViewParams
+from sosvo.sensor.rig import OmnistereoRig
+
+
+def _view_to_dict(v: ViewParams) -> dict:
+    return {
+        "xi": float(v.xi),
+        "fx": float(v.fx),
+        "fy": float(v.fy),
+        "cx": float(v.cx),
+        "cy": float(v.cy),
+        "min_elevation_deg": float(np.rad2deg(v.min_elevation)),
+        "max_elevation_deg": float(np.rad2deg(v.max_elevation)),
+        "z_offset": float(v.z_offset),
+    }
+
+
+def _view_from_dict(d: dict) -> ViewParams:
+    return ViewParams.create(
+        xi=d["xi"], fx=d["fx"], fy=d["fy"], cx=d["cx"], cy=d["cy"],
+        min_elevation=np.deg2rad(d["min_elevation_deg"]),
+        max_elevation=np.deg2rad(d["max_elevation_deg"]),
+        z_offset=d.get("z_offset", 0.0),
+    )
+
+
+def save_rig(path: str | Path, rig: OmnistereoRig) -> None:
+    d = {
+        "image_height": int(rig.image_height),
+        "image_width": int(rig.image_width),
+        "baseline": float(rig.baseline),
+        "top": _view_to_dict(rig.top),
+        "bottom": _view_to_dict(rig.bottom),
+    }
+    Path(path).write_text(json.dumps(d, indent=2))
+
+
+def load_rig(path: str | Path) -> OmnistereoRig:
+    d = json.loads(Path(path).read_text())
+    return OmnistereoRig(
+        top=_view_from_dict(d["top"]),
+        bottom=_view_from_dict(d["bottom"]),
+        baseline=np.float32(d["baseline"]),
+        image_height=int(d["image_height"]),
+        image_width=int(d["image_width"]),
+    )

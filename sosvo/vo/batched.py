@@ -1,0 +1,64 @@
+"""Batched multi-sequence replay: vmap over sequences, sharded on "data".
+
+Benchmark config c4 (BASELINE.json:10: "4 sequences in parallel via vmap with
+shared ... kernels, 1 host"). The per-frame step is already pure over pytrees,
+so batching is `jax.vmap` over a leading sequence axis; placing that axis on
+the mesh's "data" axis (SURVEY.md P1-DP) makes XLA partition every kernel --
+matcher, RANSAC, refine -- across chips with zero code changes. On one chip
+the vmap still pays off: the matcher's MXU matmuls and the RANSAC SVD batch
+grow by the sequence count, improving hardware utilization.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sosvo.dist.mesh import DATA_AXIS
+from sosvo.sensor.rig import OmnistereoRig
+from sosvo.synth.scene import FrameObservations
+from sosvo.utils.config import PipelineConfig
+from sosvo.vo.pipeline import step
+from sosvo.vo.state import StepOutput, TrackState, init_track_state
+
+
+def init_batched_states(n_seq: int, max_features: int, key: jax.Array,
+                        T0: jnp.ndarray | None = None) -> TrackState:
+    """Stacked TrackStates, leading axis = sequence."""
+    keys = jax.random.split(key, n_seq)
+    T0s = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n_seq, 1, 1)) if T0 is None else T0
+    return jax.vmap(lambda k, T: init_track_state(max_features, k, T0=T))(keys, T0s)
+
+
+def run_replay_batched(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    states: TrackState,
+    obs_seqs: FrameObservations,
+) -> tuple[TrackState, StepOutput]:
+    """Replay S sequences in lockstep: obs fields are (S, F, ...).
+
+    Scan over frames of a vmapped step (scan-of-vmap, not vmap-of-scan, so
+    the compiled program is a single loop whose body is batch-parallel --
+    the layout that shards cleanly over the "data" mesh axis).
+    """
+
+    def body(s, o):
+        return jax.vmap(lambda st, ob: step(rig, cfg, st, ob))(s, o)
+
+    obs_fmajor = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seqs)  # (F, S, ...)
+    final, outs = jax.lax.scan(body, states, obs_fmajor)
+    return final, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)     # (S, F, ...)
+
+
+def shard_batched_inputs(mesh: Mesh, states: TrackState, obs_seqs: FrameObservations):
+    """Place the sequence axis on the "data" mesh axis, everything else replicated."""
+
+    def put(tree):
+        def leaf(a):
+            spec = P(DATA_AXIS) if getattr(a, "ndim", 0) >= 1 else P()
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.tree.map(leaf, tree)
+
+    return put(states), put(obs_seqs)

@@ -1,0 +1,62 @@
+"""Checkpoint/resume: snapshot mid-replay, restore, trajectories must match
+exactly (SURVEY.md sections 5.3/5.4). The process-kill variant runs through
+the CLI's --fault-inject in test_cli_fault_resume."""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.sensor.rig import default_rig
+from sosvo.synth.scene import make_scene, observe_sequence
+from sosvo.utils.checkpoint import latest_step, restore_state, save_state
+from sosvo.utils.config import FrontendConfig, PipelineConfig
+from sosvo.vo.ba_pipeline import init_ba_state, run_replay_ba
+
+F, K = 12, 256
+
+
+def test_checkpoint_roundtrip_resumes_exactly(tmp_path):
+    rig = default_rig()
+    cfg = PipelineConfig(frontend=FrontendConfig(max_features=K))
+    scene = make_scene(jax.random.PRNGKey(0), n_frames=F, n_landmarks=2048)
+    obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
+                           pixel_noise=0.3, desc_flip_prob=0.02)
+    replay = jax.jit(lambda s, o: run_replay_ba(rig, cfg, s, o))
+    s0 = init_ba_state(cfg, jax.random.PRNGKey(2), T0=scene.poses[0])
+
+    # Uninterrupted run.
+    _, outs_full = replay(s0, obs)
+
+    # Chunked run with a checkpoint after frame 6, restored into a fresh
+    # template (as a new process would).
+    mid, _ = replay(s0, jax.tree.map(lambda x: x[:6], obs))
+    save_state(tmp_path, 6, mid)
+    assert latest_step(tmp_path) == 6
+    restored = restore_state(tmp_path, 6, init_ba_state(cfg, jax.random.PRNGKey(9)))
+    chex_equal = jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)), mid, restored)
+    assert all(jax.tree.leaves(chex_equal))
+
+    _, outs_tail = replay(restored, jax.tree.map(lambda x: x[6:], obs))
+    assert float(jnp.max(jnp.abs(outs_tail.vo.T_world - outs_full.vo.T_world[6:]))) == 0.0
+
+
+def test_cli_fault_resume(tmp_path):
+    """Kill the driver mid-replay, resume, require the identical JSONL log."""
+    out_a = tmp_path / "full"
+    out_b = tmp_path / "faulted"
+    base = [sys.executable, "-m", "sosvo.cli", "--config", "configs/c1_cpu_smoke.json",
+            "--platform", "cpu", "--mode", "f2f", "--ckpt-every", "4"]
+    r = subprocess.run(base + ["--out", str(out_a)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(base + ["--out", str(out_b), "--fault-inject", "5"],
+                       capture_output=True, text=True)
+    assert r.returncode == 42, (r.returncode, r.stderr[-2000:])
+    r = subprocess.run(base + ["--out", str(out_b), "--resume"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    a = (out_a / "frames.jsonl").read_text()
+    b = (out_b / "frames.jsonl").read_text()
+    assert a == b
