@@ -143,6 +143,26 @@ def ba_cost(win: BAWindow, axis_name: str | None = None) -> jnp.ndarray:
     return cost
 
 
+def huber_weights(win: BAWindow, delta: float) -> jnp.ndarray:
+    """(W, L, 2) IRLS multipliers: sqrt-Huber on each observation's bearing
+    residual norm. Robustifies BA against wrong data associations -- the
+    image-mode map matcher has a nonzero outlier rate, and a single bad
+    (landmark, keyframe) pair under plain L2 can drag the whole window
+    (SURVEY.md C13; the reference's scipy path used soft-l1 losses [K])."""
+
+    def per_pair(X_w, p_l, rays_wl, viewpoints):
+        r = _pair_residual(X_w, p_l, rays_wl,
+                           jnp.ones((2,), X_w.dtype), viewpoints).reshape(2, 3)
+        return jnp.linalg.norm(r, axis=-1)                # (2,)
+
+    f = jax.vmap(
+        jax.vmap(per_pair, in_axes=(None, 0, 0, None)),
+        in_axes=(0, None, 0, None),
+    )
+    nrm = f(win.X, win.landmarks, win.rays, win.viewpoints)  # (W, L, 2)
+    return jnp.sqrt(jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12)))
+
+
 def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
             anchor: jnp.ndarray | int = 0):
     """One damped LM step: build blocks, Schur-reduce, solve, back-substitute.
@@ -190,7 +210,8 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
 
 
 def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
-             axis_name: str | None = None, anchor: jnp.ndarray | int = 0) -> BAResult:
+             axis_name: str | None = None, anchor: jnp.ndarray | int = 0,
+             huber_delta: float | None = None) -> BAResult:
     """Levenberg-Marquardt with multiplicative damping adaptation.
 
     Accept a step iff it lowers the cost (then lam /= 3), else keep the old
@@ -216,8 +237,18 @@ def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
 
     def body(carry, _):
         w, lam, cost = carry
-        cand = lm_step(w, lam, axis_name, anchor)
-        cand_cost = ba_cost(cand, axis_name)
+        if huber_delta is not None:
+            # IRLS: freeze Huber multipliers at the current state; candidate
+            # and current are compared under the SAME weights so the
+            # accept/reject decision is consistent.
+            hw = huber_weights(w, huber_delta)
+            w_eff = w._replace(weights=w.weights * hw)
+            cost = ba_cost(w_eff, axis_name)
+        else:
+            w_eff = w
+        cand_w = lm_step(w_eff, lam, axis_name, anchor)
+        cand = w._replace(X=cand_w.X, landmarks=cand_w.landmarks)
+        cand_cost = ba_cost(cand._replace(weights=w_eff.weights), axis_name)
         accept = cand_cost < cost
         w_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, w)
         lam_next = jnp.where(accept, lam / 3.0, lam * 9.0)

@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--mode", choices=["f2f", "ba"], default="ba",
                     help="frame-to-frame only, or keyframed windowed-BA VO")
+    ap.add_argument("--source", choices=["obs", "images"], default=None,
+                    help="feature observations (c1) or rendered raw omni "
+                         "images through the full frontend (c2); defaults to "
+                         "the config's pipeline.mode")
     ap.add_argument("--pgo", action="store_true", help="pose-graph loop closing at the end")
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
@@ -73,10 +77,26 @@ def main(argv=None) -> int:
     ckpt_dir = out / "ckpt"
     log_path = out / "frames.jsonl"
 
+    source = args.source or ("images" if cfg.mode == "images" else "obs")
     rig = default_rig()
     scene = make_scene(jax.random.PRNGKey(0), n_frames=n_frames, n_landmarks=n_landmarks)
-    obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
-                           pixel_noise=pixel_noise, desc_flip_prob=desc_flip)
+    if source == "images":
+        # Full frontend path (config c2): ray-cast the analytic room through
+        # the exact sensor model, then detect/describe/match from pixels.
+        from sosvo.frontend.image_frontend import build_frontend_luts, extract_observations
+        from sosvo.synth.render import RoomScene, render_sequence
+        from sosvo.synth.scene import make_trajectory
+
+        room = RoomScene(radius=3.0, floor_z=-1.2, ceiling_z=1.6, texture_scale=2.0)
+        poses = make_trajectory(n_frames, radius=0.4)
+        scene = scene._replace(poses=poses)
+        imgs = jax.jit(lambda P: render_sequence(rig, P, room))(poses)
+        luts = build_frontend_luts(rig, cfg.frontend)
+        extract = jax.jit(jax.vmap(lambda im: extract_observations(rig, luts, cfg.frontend, im)))
+        obs = extract(imgs)
+    else:
+        obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
+                               pixel_noise=pixel_noise, desc_flip_prob=desc_flip)
 
     if args.mode == "ba":
         state0 = init_ba_state(cfg, jax.random.PRNGKey(2), T0=scene.poses[0])

@@ -50,6 +50,7 @@ class BAConfig:
     max_landmarks: int = 512         # landmark slots per window
     max_new: int = 96                # max landmark insertions per keyframe
     iters: int = 5                   # LM outer iterations
+    huber_delta: float = 0.005       # robust kernel width on bearing residuals
     damping_init: float = 1e-3
     use_pallas_schur: bool = False
 

@@ -46,6 +46,28 @@ def test_image_mode_tracks_rendered_sequence():
     assert float(rmse) < 0.02, float(rmse)
 
 
+def test_image_mode_with_windowed_ba():
+    """c2 proper: full frontend + keyframed robust BA, one jitted scan."""
+    from sosvo.utils.config import BAConfig
+    from sosvo.vo.ba_pipeline import init_ba_state, run_replay_ba
+    from sosvo.frontend.image_frontend import extract_observations
+
+    rig = default_rig(image_size=768)
+    n_frames = 10
+    poses = make_trajectory(n_frames, radius=0.4)
+    imgs = jax.jit(lambda P: render_sequence(rig, P, ROOM))(poses)
+    cfg = PipelineConfig(frontend=FE, ransac=RC,
+                         ba=BAConfig(max_landmarks=384, huber_delta=0.003))
+    luts = build_frontend_luts(rig, FE)
+    extract = jax.jit(jax.vmap(lambda im: extract_observations(rig, luts, FE, im)))
+    obs = extract(imgs)
+    state = init_ba_state(cfg, jax.random.PRNGKey(2), T0=poses[0])
+    final, outs = jax.jit(lambda s, o: run_replay_ba(rig, cfg, s, o))(state, obs)
+    assert bool(jnp.all(outs.vo.pose_ok[1:]))
+    rmse, _ = ate_rmse(outs.vo.T_world[1:, :3, 3], poses[1:, :3, 3])
+    assert float(rmse) < 0.02, float(rmse)
+
+
 def test_frontend_observations_geometrically_consistent():
     """Detected features lift to rays that agree with the raw-pixel lift."""
     rig = default_rig(image_size=768)
