@@ -50,39 +50,55 @@ def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
-def _schur_kernel(hcl_ref, hll_ref, bl_ref, lam_ref,
+def _schur_kernel(hclT_ref, hll_ref, bl_ref, lam_ref,
                   soff_ref, bsub_ref, hllinv_ref):
     """One landmark tile: invert, couple, accumulate.
 
     Grid: (L / TILE_L,) sequential; soff_ref/bsub_ref use a constant index
     map so the same (6W, 6W) / (6W, 1) accumulator block persists and
     accumulates across grid steps.
+
+    All contractions are single-dim matmuls (Mosaic's tpu.matmul does not
+    support multiple contracting dims): with the TRANSPOSED coupling layout
+    hclT (l, 3, 6W), merging (l, 3) -> one major axis turns both the Schur
+    product and the gradient subtraction into plain (6W x 3TL) matmuls.
     """
     t = pl.program_id(0)
 
-    hcl = hcl_ref[:]            # (TILE_L, 6W, 3)
+    hclT = hclT_ref[:]          # (TILE_L, 3, 6W)
     hll = hll_ref[:]            # (TILE_L, 3, 3)
     bl = bl_ref[:]              # (TILE_L, 3)
     lam = lam_ref[0, 0]
+    tl, _, sixW = hclT.shape
 
     eye3 = jnp.eye(3, dtype=hll.dtype)
     hll_inv = _inv3x3(hll + lam * eye3[None])            # (TILE_L, 3, 3)
     hllinv_ref[:] = hll_inv
 
-    # A[l] = H_cl[l] @ H_ll_inv[l] : batched (6W, 3) x (3, 3)
-    A = jax.lax.dot_general(
-        hcl, hll_inv,
+    # A^T[l] = H_ll_inv[l] @ H_cl[l]^T : batched (3, 3) x (3, 6W).
+    # (H_ll_inv is symmetric, so this is A[l] = H_cl[l] H_ll_inv[l], stored
+    # transposed -- exactly the layout the next matmul wants.)
+    AT = jax.lax.dot_general(
+        hll_inv, hclT,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                    # (TILE_L, 6W, 3)
+    )                                                    # (TILE_L, 3, 6W)
 
-    # S_off += sum_l A[l] @ H_cl[l]^T : contract over (l, k)
+    # S_off += sum_{l,k} A^T[l,k,:]^T hclT[l,k,:] : merge (l, k) -> rows,
+    # then a single (3TL, 6W)^T x (3TL, 6W) matmul on the MXU.
+    A2 = AT.reshape(tl * 3, sixW)
+    H2 = hclT.reshape(tl * 3, sixW)
     s_tile = jax.lax.dot_general(
-        A, hcl,
-        dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+        A2, H2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                    # (6W, 6W)
-    b_tile = jnp.einsum("lik,lk->i", A, bl)[:, None]     # (6W, 1)
+    b2 = bl.reshape(tl * 3, 1)
+    b_tile = jax.lax.dot_general(
+        A2, b2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (6W, 1)
 
     @pl.when(t == 0)
     def _():
@@ -95,7 +111,7 @@ def _schur_kernel(hcl_ref, hll_ref, bl_ref, lam_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def schur_reduce_pallas(
-    H_cl_lm: jnp.ndarray,   # (L, 6W, 3) landmark-major coupling blocks
+    H_clT: jnp.ndarray,     # (L, 3, 6W) TRANSPOSED landmark-major coupling
     H_ll: jnp.ndarray,      # (L, 3, 3) UNDAMPED landmark blocks
     b_l: jnp.ndarray,       # (L, 3)
     lam: jnp.ndarray | float,
@@ -108,7 +124,7 @@ def schur_reduce_pallas(
     contribute nothing; H_ll pads should be identity to keep the inverse
     finite).
     """
-    L, sixW, _ = H_cl_lm.shape
+    L, _, sixW = H_clT.shape
     assert L % TILE_L == 0, f"L={L} must be a multiple of {TILE_L}"
     lam_arr = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     grid = (L // TILE_L,)
@@ -117,7 +133,7 @@ def schur_reduce_pallas(
         _schur_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_L, sixW, 3), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_L, 3, sixW), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_L, 3, 3), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_L, 3), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -138,7 +154,7 @@ def schur_reduce_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(H_cl_lm, H_ll, b_l, lam_arr)
+    )(H_clT, H_ll, b_l, lam_arr)
     return s_off, b_sub[:, 0], h_ll_inv
 
 
@@ -152,16 +168,17 @@ def reduce_camera_system_pallas(H_cc, H_cl, H_ll, b_c, b_l, lam,
     W = H_cc.shape[0]
     L = H_ll.shape[0]
     Lp = ((L + TILE_L - 1) // TILE_L) * TILE_L
-    H_cl_lm = jnp.transpose(H_cl, (1, 0, 2, 3)).reshape(L, W * 6, 3)
+    # hclT[l, j, w*6+i] = H_cl[w, l, i, j] -- transposed landmark-major.
+    H_clT = jnp.transpose(H_cl, (1, 3, 0, 2)).reshape(L, 3, W * 6)
     if Lp != L:
         pad = Lp - L
-        H_cl_lm = jnp.concatenate(
-            [H_cl_lm, jnp.zeros((pad, W * 6, 3), H_cl_lm.dtype)])
+        H_clT = jnp.concatenate(
+            [H_clT, jnp.zeros((pad, 3, W * 6), H_clT.dtype)])
         H_ll = jnp.concatenate(
             [H_ll, jnp.tile(jnp.eye(3, dtype=H_ll.dtype), (pad, 1, 1))])
         b_l = jnp.concatenate([b_l, jnp.zeros((pad, 3), b_l.dtype)])
 
-    s_off, b_sub, h_ll_inv = schur_reduce_pallas(H_cl_lm, H_ll, b_l, lam,
+    s_off, b_sub, h_ll_inv = schur_reduce_pallas(H_clT, H_ll, b_l, lam,
                                                  interpret=interpret)
     S_off = s_off.reshape(W, 6, W, 6).transpose(0, 2, 1, 3)
     eye_w = jnp.eye(W, dtype=H_cc.dtype)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from sosvo.backend.refine import refine_pose_bearings
 from sosvo.frontend.match import column_band_penalty, match
+from sosvo.kernels.match_pallas import match_pallas
 from sosvo.geom.lie import geodesic_angle, mat_inv
 from sosvo.geometry.ransac import ransac_essential, ransac_rigid
 from sosvo.geometry.triangulate import midpoint_triangulate
@@ -37,6 +38,34 @@ def azimuth_of(rays: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(rays[..., 1], rays[..., 0])
 
 
+def _match(cfg: PipelineConfig, desc_a, desc_b, valid_a, valid_b,
+           az_a=None, az_b=None, band: float = 0.0):
+    """Matcher dispatch: fused Pallas kernel (TPU) or the XLA reference path.
+
+    Identical semantics either way (tests/test_match_pallas.py); the band
+    constraint is a dense penalty matrix in XLA and fused arithmetic in the
+    kernel."""
+    if cfg.frontend.use_pallas_match:
+        return match_pallas(
+            desc_a, desc_b, valid_a, valid_b,
+            max_distance=cfg.frontend.match_max_distance,
+            ratio=cfg.frontend.match_ratio,
+            az_a=az_a, az_b=az_b, band=band,
+            # Mosaic kernels need TPU hardware; elsewhere (CPU tests/debug)
+            # fall back to the Pallas interpreter -- same semantics, slow.
+            interpret=jax.default_backend() != "tpu",
+        )
+    penalty = None
+    if band > 0.0:
+        penalty = column_band_penalty(az_a, az_b, band, wrap=2.0 * jnp.pi)
+    return match(
+        desc_a, desc_b, valid_a, valid_b,
+        max_distance=cfg.frontend.match_max_distance,
+        ratio=cfg.frontend.match_ratio,
+        penalty=penalty,
+    )
+
+
 def stereo_triangulate(rig: OmnistereoRig, obs: FrameObservations, cfg: PipelineConfig):
     """Stereo match top vs bottom feature sets, triangulate matched pairs.
 
@@ -47,13 +76,9 @@ def stereo_triangulate(rig: OmnistereoRig, obs: FrameObservations, cfg: Pipeline
     az_b = azimuth_of(obs.ray_bottom)
     # Coaxial views: epipolar curves are iso-azimuth (SURVEY.md C5/C7 [P1]),
     # so stereo candidates must agree in azimuth (wrapped band).
-    penalty = column_band_penalty(az_t, az_b, cfg.frontend.stereo_band_rad, wrap=2.0 * jnp.pi)
-    m = match(
-        obs.desc_top, obs.desc_bottom,
-        obs.valid_top, obs.valid_bottom,
-        max_distance=cfg.frontend.match_max_distance,
-        ratio=cfg.frontend.match_ratio,
-        penalty=penalty,
+    m = _match(
+        cfg, obs.desc_top, obs.desc_bottom, obs.valid_top, obs.valid_bottom,
+        az_a=az_t, az_b=az_b, band=cfg.frontend.stereo_band_rad,
     )
     ray_b = obs.ray_bottom[m.idx_b]
     tri = midpoint_triangulate(
@@ -83,12 +108,7 @@ def step_full(
     n_stereo = jnp.sum(valid.astype(jnp.int32))
 
     # --- temporal match: previous frame's points vs current features ---
-    tm = match(
-        state.prev_desc, desc,
-        state.prev_valid, valid,
-        max_distance=cfg.frontend.match_max_distance,
-        ratio=cfg.frontend.match_ratio,
-    )
+    tm = _match(cfg, state.prev_desc, desc, state.prev_valid, valid)
     pts_curr_m = pts[tm.idx_b]
     rays_curr_m = rays[tm.idx_b]
     pair_valid = tm.valid & state.prev_valid & valid[tm.idx_b]
