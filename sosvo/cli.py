@@ -38,7 +38,9 @@ def main(argv=None) -> int:
                     help="feature observations (c1) or rendered raw omni "
                          "images through the full frontend (c2); defaults to "
                          "the config's pipeline.mode")
-    ap.add_argument("--pgo", action="store_true", help="pose-graph loop closing at the end")
+    ap.add_argument("--pgo", action="store_true",
+                    help="pose-graph loop closing at the end (or set "
+                         "pipeline.pose_graph in the config, as c3 does)")
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
 
@@ -143,7 +145,7 @@ def main(argv=None) -> int:
     T_est = jnp.asarray(np.concatenate(all_T, axis=0))
     gt = scene.poses[start_frame:]
     n_loops = 0
-    if args.pgo:
+    if args.pgo or cfg.pose_graph:
         T_full = T_est if start_frame == 0 else jnp.concatenate(
             [scene.poses[:start_frame], T_est])
         T_full, n_loops = pgo_refine_trajectory(rig, cfg, obs, T_full)

@@ -33,34 +33,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sosvo.frontend.match import BIG, NBITS, MatchResult, unpack_bits_pm1
 
-TILE = 128
+TILE = 128     # column (B-feature) tile, streamed
+TILE_A = 512   # row (A-feature) tile, one grid step each
 
 
 def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
-                  dbest_ref, dsecond_ref, ibest_ref, colmin_ref):
-    """Stream KB column tiles; reduce row/col statistics on the fly.
+                  dbest_ref, dsecond_ref, ibest_ref, colmin_ref,
+                  colval_ref):
+    """Row-tiled grid x streamed column tiles; reduce stats on the fly.
+
+    Grid: (KA / TILE_A,) sequential row tiles -- the full A never sits in
+    VMEM (at K >= 2048 that would blow the 16 MB budget). Column-argmin
+    state spans row tiles, so it lives in VMEM scratch that persists across
+    grid steps (colval_ref) with the int index as an accumulated output.
 
     Refs:
       band_ref: (1, 1) SMEM f32 -- azimuth band half-width (rad); <= 0 means
         no band constraint (temporal matching).
-      a_ref: (KA, NBITS) bf16 +/-1 unpacked descriptors.
-      b_ref: (KB, NBITS) bf16.
-      aza_ref: (KA, 1) f32 azimuths; azb_ref: (KB, 1).
-      va_ref: (KA, 1) f32 validity (1/0); vb_ref: (KB, 1).
-      dbest_ref, dsecond_ref: (KA, 1) f32 outputs.
-      ibest_ref: (KA, 1) int32 output -- argmin_b of each row.
-      colmin_ref: (KB, 1) int32 output -- argmin_a of each column.
+      a_ref: (TILE_A, NBITS) bf16 +/-1 unpacked descriptors (this row tile).
+      b_ref: (KB, NBITS) bf16 (full, stays resident).
+      aza_ref: (TILE_A, 1) f32 azimuths; azb_ref: (KB, 1).
+      va_ref: (TILE_A, 1) f32 validity (1/0); vb_ref: (KB, 1).
+      dbest_ref, dsecond_ref: (TILE_A, 1) f32 outputs (row-tile slices).
+      ibest_ref: (TILE_A, 1) int32 output -- argmin_b of each row.
+      colmin_ref: (KB, 1) int32 output -- argmin_a of each column (global).
+      colval_ref: (KB, 1) f32 scratch -- running column minima.
     """
-    ka = a_ref.shape[0]
+    i = pl.program_id(0)
+    ka_t = a_ref.shape[0]
     kb = b_ref.shape[0]
     n_tiles = kb // TILE
     band = band_ref[0, 0]
     big = float(BIG)  # python float: jnp constants cannot be captured by kernels
     two_pi = 2.0 * float(jnp.pi)
+    row_base = i * ka_t
 
-    a = a_ref[:]                               # (KA, NBITS) bf16
-    az_a = aza_ref[:]                          # (KA, 1)
-    pen_a = (1.0 - va_ref[:]) * big            # (KA, 1)
+    @pl.when(i == 0)
+    def _():
+        colval_ref[:] = jnp.full_like(colval_ref, jnp.inf)
+        colmin_ref[:] = jnp.zeros_like(colmin_ref)
+
+    a = a_ref[:]                               # (TILE_A, NBITS) bf16
+    az_a = aza_ref[:]                          # (TILE_A, 1)
+    pen_a = (1.0 - va_ref[:]) * big            # (TILE_A, 1)
 
     def body(j, carry):
         dbest, dsecond, ibest = carry
@@ -74,25 +89,31 @@ def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
             # bf16 operands ("Bad lhs type"). bf16 x bf16 -> f32 accumulation
             # is exact for +/-1 vectors of length <= 256, so DEFAULT is safe.
             precision=jax.lax.Precision.DEFAULT,
-        )                                      # (KA, TILE)
+        )                                      # (TILE_A, TILE)
         d = (NBITS - dot) * 0.5
 
         # Fused penalties: invalid rows/cols + optional azimuth band.
         az_b = azb_ref[pl.ds(j * TILE, TILE), :]            # (TILE, 1)
         pen_b = (1.0 - vb_ref[pl.ds(j * TILE, TILE), :]) * big
         d = d + pen_a + pen_b.reshape(1, TILE)
-        diff = az_a - az_b.reshape(1, TILE)                 # (KA, TILE)
+        diff = az_a - az_b.reshape(1, TILE)                 # (TILE_A, TILE)
         diff = diff - two_pi * jnp.round(diff / two_pi)     # wrap to [-pi, pi]
         band_pen = jnp.where(jnp.abs(diff) <= band, 0.0, big)
         d = d + jnp.where(band > 0.0, band_pen, 0.0)
 
-        # Per-column argmin over ALL rows (KA is a single block).
-        colmin_ref[pl.ds(j * TILE, TILE), 0] = jnp.argmin(d, axis=0).astype(jnp.int32)
+        # Per-column running argmin across row tiles (scratch + output RMW).
+        cmin = jnp.min(d, axis=0).reshape(TILE, 1)          # (TILE, 1)
+        cidx = (jnp.argmin(d, axis=0).astype(jnp.int32) + row_base).reshape(TILE, 1)
+        cur_val = colval_ref[pl.ds(j * TILE, TILE), :]
+        cur_idx = colmin_ref[pl.ds(j * TILE, TILE), :]
+        better = cmin < cur_val
+        colval_ref[pl.ds(j * TILE, TILE), :] = jnp.where(better, cmin, cur_val)
+        colmin_ref[pl.ds(j * TILE, TILE), :] = jnp.where(better, cidx, cur_idx)
 
         # Per-row best/second-best merge with the running state.
-        m1 = jnp.min(d, axis=1, keepdims=True)              # (KA, 1)
-        i1 = jnp.argmin(d, axis=1).astype(jnp.int32).reshape(ka, 1) + j * TILE
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (ka, TILE), 1)
+        m1 = jnp.min(d, axis=1, keepdims=True)              # (TILE_A, 1)
+        i1 = jnp.argmin(d, axis=1).astype(jnp.int32).reshape(ka_t, 1) + j * TILE
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (ka_t, TILE), 1)
         d_masked = jnp.where(col_ids == (i1 - j * TILE), jnp.inf, d)
         m2 = jnp.min(d_masked, axis=1, keepdims=True)       # tile second-best
 
@@ -102,9 +123,9 @@ def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
         return new_best, new_second, new_ibest
 
     init = (
-        jnp.full((ka, 1), jnp.inf, jnp.float32),
-        jnp.full((ka, 1), jnp.inf, jnp.float32),
-        jnp.zeros((ka, 1), jnp.int32),
+        jnp.full((ka_t, 1), jnp.inf, jnp.float32),
+        jnp.full((ka_t, 1), jnp.inf, jnp.float32),
+        jnp.zeros((ka_t, 1), jnp.int32),
     )
     dbest, dsecond, ibest = jax.lax.fori_loop(0, n_tiles, body, init)
     dbest_ref[:] = dbest
@@ -138,7 +159,7 @@ def match_stats_pallas(
     +BIG. `band` <= 0 disables the azimuth-band constraint.
     """
     ka, kb = desc_a.shape[0], desc_b.shape[0]
-    ka_p = pl.cdiv(ka, TILE) * TILE
+    ka_p = pl.cdiv(ka, TILE_A) * TILE_A
     kb_p = pl.cdiv(kb, TILE) * TILE
 
     a = _pad_to(unpack_bits_pm1(desc_a), ka_p, jnp.bfloat16(0))
@@ -157,15 +178,24 @@ def match_stats_pallas(
         jax.ShapeDtypeStruct((ka_p, 1), jnp.int32),     # idx_b
         jax.ShapeDtypeStruct((kb_p, 1), jnp.int32),     # col_argmin
     )
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    row = lambda width: pl.BlockSpec((TILE_A, width), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    whole = lambda n, w: pl.BlockSpec((n, w), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
     dbest, dsecond, ibest, colmin = pl.pallas_call(
         _match_kernel,
+        grid=(ka_p // TILE_A,),
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # band scalar
-            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+            row(NBITS),                                 # a (row tile)
+            whole(kb_p, NBITS),                         # b (resident)
+            row(1), whole(kb_p, 1),                     # azimuths
+            row(1), whole(kb_p, 1),                     # validity
         ],
-        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        out_specs=(row(1), row(1), row(1), whole(kb_p, 1)),
+        scratch_shapes=[pltpu.VMEM((kb_p, 1), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * ka_p * kb_p * NBITS,
             bytes_accessed=(ka_p + kb_p) * (NBITS // 8 + 8),

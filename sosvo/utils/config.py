@@ -80,6 +80,7 @@ class PipelineConfig:
     use_essential_gate: bool = True
     keyframe_every: int = 4          # keyframe cadence (frames)
     mode: str = "observations"       # "observations" (c1) or "images" (c2+)
+    pose_graph: bool = False         # run PGO loop closing after replay (c3)
 
 
 def _from_dict(cls, d: dict[str, Any]):

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sosvo.frontend import match as fm
-from sosvo.geom.lie import mat_inv, se3_exp, so3_exp, transform_points
+from sosvo.geom.lie import geodesic_angle, mat_inv, se3_exp, so3_exp, transform_points
 from sosvo.geometry.essential import (
     decompose_essential,
     epipolar_residual_angle,
@@ -190,3 +190,26 @@ def test_ransac_essential_with_outliers():
     np.testing.assert_allclose(np.asarray(R_est), np.asarray(R), atol=5e-3)
     t_unit = t / jnp.linalg.norm(t)
     np.testing.assert_allclose(np.asarray(t_est), np.asarray(t_unit), atol=2e-2)
+
+
+def test_ransac_rigid_property_random_motions():
+    """Property sweep (SURVEY.md SS4.4): random rigid motions + point clouds
+    with 30% outliers, many seeds -> pose recovered within tolerance."""
+    from sosvo.geom.lie import se3_exp
+
+    for seed in range(8):
+        key = jax.random.PRNGKey(100 + seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        T_gt = se3_exp(jax.random.normal(k1, (6,)) * jnp.array([0.2] * 3 + [0.15] * 3))
+        pts = jax.random.normal(k2, (256, 3)) * 2.0 + jnp.array([0.0, 0.0, 1.5])
+        pts_c = transform_points(T_gt, pts)
+        n_out = 76  # ~30%
+        pts_c = pts_c.at[:n_out].add(jax.random.normal(k3, (n_out, 3)) * 2.0)
+        valid = jnp.ones((256,), bool)
+        rr = ransac_rigid(k4, pts, pts_c, valid, n_hyps=512, threshold=0.05,
+                          min_inliers=20)
+        assert bool(rr.ok), f"seed {seed}"
+        t_err = float(jnp.linalg.norm(rr.model[:3, 3] - T_gt[:3, 3]))
+        r_err = float(geodesic_angle(rr.model[:3, :3], T_gt[:3, :3]))
+        assert t_err < 0.02, (seed, t_err)
+        assert r_err < 0.02, (seed, r_err)
