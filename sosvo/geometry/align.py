@@ -55,3 +55,41 @@ def umeyama(
         scale = jnp.ones(cov.shape[:-2], dtype=src.dtype)
     t = mu_dst[..., 0, :] - scale[..., None] * (R @ mu_src[..., 0, :, None])[..., 0]
     return rt_to_mat(scale[..., None, None] * R, t), scale
+
+
+def rigid_from_three_points(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form SVD-free rigid transform from exactly 3 point pairs.
+
+    Builds an orthonormal frame from each (centered) triangle and maps one
+    onto the other: R = B_dst B_src^T, t = c_dst - R c_src. Algebraically
+    exact when the correspondence is exact (the RANSAC minimal-set case);
+    unlike Umeyama it needs no SVD, which matters on TPU where hundreds of
+    batched small SVDs per frame dominate the vmapped-hypothesis RANSAC
+    (SURVEY.md C10/C11 -- the reference pays numpy SVD per hypothesis).
+
+    Near-collinear triangles produce a garbage-but-finite R (safe-normalized);
+    such hypotheses simply score few inliers downstream.
+
+    Args:
+      src, dst: (..., 3, 3) three points (row-vectors) per problem.
+
+    Returns:
+      (..., 4, 4) rigid transforms with dst ~= T src.
+    """
+
+    def frame(p):
+        e1 = p[..., 1, :] - p[..., 0, :]
+        e2 = p[..., 2, :] - p[..., 0, :]
+        u1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), 1e-12)
+        e2p = e2 - jnp.sum(e2 * u1, axis=-1, keepdims=True) * u1
+        u2 = e2p / jnp.maximum(jnp.linalg.norm(e2p, axis=-1, keepdims=True), 1e-12)
+        u3 = jnp.cross(u1, u2)
+        return jnp.stack([u1, u2, u3], axis=-1)          # (..., 3, 3) columns
+
+    B_s = frame(src)
+    B_d = frame(dst)
+    R = B_d @ jnp.swapaxes(B_s, -1, -2)
+    c_s = jnp.mean(src, axis=-2)
+    c_d = jnp.mean(dst, axis=-2)
+    t = c_d - jnp.einsum("...ij,...j->...i", R, c_s)
+    return rt_to_mat(R, t)

@@ -81,3 +81,41 @@ def test_observe_sequence_shapes():
     assert obs.ray_top.shape == (4, 256, 3)
     assert obs.valid.shape == (4, 256)
     assert obs.desc_top.dtype == jnp.uint32
+
+
+def test_rigid_from_three_points_exact():
+    """SVD-free minimal solver == Umeyama on exact 3-point sets."""
+    import jax
+    from sosvo.geom.lie import se3_exp, transform_points
+    from sosvo.geometry.align import rigid_from_three_points, umeyama
+
+    key = jax.random.PRNGKey(33)
+    for seed in range(5):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, seed))
+        T = se3_exp(jax.random.normal(k1, (6,)) * 0.3)
+        src = jax.random.normal(k2, (7, 3, 3)) * 2.0
+        dst = jax.vmap(lambda p: transform_points(T, p))(src)
+        T3 = rigid_from_three_points(src, dst)
+        Tu, _ = umeyama(src, dst)
+        assert float(jnp.max(jnp.abs(T3 - T[None]))) < 1e-4
+        assert float(jnp.max(jnp.abs(T3 - Tu))) < 1e-4
+
+
+def test_checked_step_clean_on_valid_input():
+    """checkify sanitizer wrapper: no NaN/Inf/index errors on a normal frame."""
+    import jax
+    from sosvo.sensor.rig import default_rig
+    from sosvo.synth.scene import make_scene, observe_frame
+    from sosvo.utils.config import PipelineConfig
+    from sosvo.utils.debug import checked
+    from sosvo.vo.pipeline import step
+    from sosvo.vo.state import init_track_state
+
+    rig = default_rig()
+    cfg = PipelineConfig()
+    scene = make_scene(jax.random.PRNGKey(40), n_frames=2, n_landmarks=2048)
+    o = observe_frame(rig, scene, jnp.asarray(1), 256, jax.random.PRNGKey(41))
+    st = init_track_state(256, jax.random.PRNGKey(42), T0=scene.poses[0])
+    st, _ = step(rig, cfg, st, o)  # prime with one frame so prev state is real
+    err, _ = jax.jit(checked(lambda s, ob: step(rig, cfg, s, ob)))(st, o)
+    err.throw()  # raises if any NaN/Inf/OOB fired anywhere in the step
