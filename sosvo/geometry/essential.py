@@ -45,6 +45,49 @@ def fit_essential(rays1: jnp.ndarray, rays2: jnp.ndarray, weights: jnp.ndarray) 
     return E / jnp.maximum(jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-12)
 
 
+def fit_essential_fast(rays1: jnp.ndarray, rays2: jnp.ndarray,
+                       weights: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """Smallest-eigenvector fit by Cholesky inverse iteration (no eigh).
+
+    For RANSAC minimal sets the 9x9 normal matrix has an (almost) exact null
+    vector, so one-two inverse iterations on (M + eps*I) isolate it: the null
+    direction is amplified by 1/eps vs 1/lambda_i for the rest. Batched 9x9
+    Cholesky + triangular solves are ~an order of magnitude cheaper than
+    batched eigh on TPU, which made the essential hypothesis batch half the
+    VO frame cost. The exact eigh fit remains for the final refit.
+    """
+    a = essential_rows(rays1, rays2)
+    M = jnp.einsum("...ni,...nj->...ij", a * weights[..., None], a)
+    scale = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / 9.0 + 1e-12
+    eps = 1e-5
+    L = jnp.linalg.cholesky(M / scale + eps * jnp.eye(9, dtype=M.dtype))
+    v = jnp.ones(M.shape[:-2] + (9, 1), M.dtype) / 3.0
+
+    for _ in range(iters):
+        y = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+        v = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), y, lower=False)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=(-2, -1), keepdims=True), 1e-30)
+
+    E = v[..., :, 0].reshape(M.shape[:-2] + (3, 3))
+    return E / jnp.maximum(jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-12)
+
+
+def epipolar_residual_sin(E: jnp.ndarray, rays1: jnp.ndarray, rays2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric SINE of the ray-to-epipolar-plane angle (no arcsin).
+
+    Monotone in the angle and equal to it to first order, so RANSAC can
+    threshold on sin(thr) ~= thr directly -- saving ~H*K transcendentals per
+    frame in the hypothesis-scoring hot loop.
+    """
+    Er1 = jnp.einsum("...ij,...nj->...ni", E, rays1)
+    Etr2 = jnp.einsum("...ji,...nj->...ni", E, rays2)
+    num = jnp.abs(jnp.sum(rays2 * Er1, axis=-1))
+    s1 = num / jnp.maximum(jnp.linalg.norm(Er1, axis=-1), 1e-9)
+    s2 = num / jnp.maximum(jnp.linalg.norm(Etr2, axis=-1), 1e-9)
+    return 0.5 * (s1 + s2)
+
+
 def epipolar_residual_angle(E: jnp.ndarray, rays1: jnp.ndarray, rays2: jnp.ndarray) -> jnp.ndarray:
     """Symmetric angular distance (radians) of rays from their epipolar planes.
 

@@ -25,7 +25,9 @@ from sosvo.geometry.align import rigid_from_three_points, umeyama
 from sosvo.geometry.essential import (
     decompose_essential,
     epipolar_residual_angle,
+    epipolar_residual_sin,
     fit_essential,
+    fit_essential_fast,
 )
 
 
@@ -168,9 +170,12 @@ def ransac_essential(
     r1 = rays1[idx]  # (H, 8, 3)
     r2 = rays2[idx]
     w8 = jnp.ones(idx.shape, dtype=rays1.dtype)
-    E_h = fit_essential(r1, r2, w8)  # (H, 3, 3)
+    # Hypothesis batch: inverse-iteration fit + sine scoring (no eigh, no
+    # arcsin) -- the exact variants run once on the refit below.
+    E_h = fit_essential_fast(r1, r2, w8)  # (H, 3, 3)
 
-    res = jax.vmap(lambda E: epipolar_residual_angle(E, rays1, rays2))(E_h)  # (H, K)
+    res = jax.vmap(lambda E: epipolar_residual_sin(E, rays1, rays2))(E_h)  # (H, K)
+    # sin(thr) ~= thr at these magnitudes; threshold directly.
     best, inl, _ = _select_best(res, valid, threshold)
 
     w = inl.astype(rays1.dtype)

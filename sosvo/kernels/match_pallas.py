@@ -33,8 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sosvo.frontend.match import BIG, NBITS, MatchResult, unpack_bits_pm1
 
-TILE = 128     # column (B-feature) tile, streamed
-TILE_A = 512   # row (A-feature) tile, one grid step each
+TILE = 512     # column (B-feature) tile, streamed (small tiles serialize:
+               # at 128 the kernel ran 64 micro-steps and lost to XLA)
+TILE_A = 1024  # row (A-feature) tile, one grid step each
 
 
 def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
@@ -97,9 +98,13 @@ def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
         pen_b = (1.0 - vb_ref[pl.ds(j * TILE, TILE), :]) * big
         d = d + pen_a + pen_b.reshape(1, TILE)
         diff = az_a - az_b.reshape(1, TILE)                 # (TILE_A, TILE)
-        diff = diff - two_pi * jnp.round(diff / two_pi)     # wrap to [-pi, pi]
-        band_pen = jnp.where(jnp.abs(diff) <= band, 0.0, big)
-        d = d + jnp.where(band > 0.0, band_pen, 0.0)
+        # Circular band check without divide/round: azimuths live in
+        # [-pi, pi), so the wrapped distance is within band iff one of
+        # {|d|, |d - 2pi|, |d + 2pi|} is -- three compares on the VPU.
+        in_band = ((jnp.abs(diff) <= band)
+                   | (jnp.abs(diff - two_pi) <= band)
+                   | (jnp.abs(diff + two_pi) <= band))
+        d = d + jnp.where(in_band | (band <= 0.0), 0.0, big)
 
         # Per-column running argmin across row tiles (scratch + output RMW).
         cmin = jnp.min(d, axis=0).reshape(TILE, 1)          # (TILE, 1)

@@ -93,12 +93,16 @@ def _schur_kernel(hclT_ref, hll_ref, bl_ref, lam_ref,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                    # (6W, 6W)
-    b2 = bl.reshape(tl * 3, 1)
-    b_tile = jax.lax.dot_general(
-        A2, b2,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+    # b_sub contribution: sum_{l,k} AT[l,k,:] bl[l,k]. Mosaic cannot reshape
+    # (TL, 3) -> (3TL, 1) (minor-dim change) and rejects matmuls whose lhs
+    # has no non-contracting dims, so give bl a trailing singleton, contract
+    # k per landmark on the MXU, and reduce the landmark axis on the VPU.
+    tmp = jax.lax.dot_general(
+        bl[:, :, None], AT,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                    # (6W, 1)
+    )                                                    # (TILE_L, 1, 6W)
+    b_tile = jnp.sum(tmp[:, 0, :], axis=0, keepdims=True).T   # (6W, 1)
 
     @pl.when(t == 0)
     def _():

@@ -213,3 +213,17 @@ def test_ransac_rigid_property_random_motions():
         r_err = float(geodesic_angle(rr.model[:3, :3], T_gt[:3, :3]))
         assert t_err < 0.02, (seed, t_err)
         assert r_err < 0.02, (seed, r_err)
+
+
+def test_fit_essential_fast_matches_eigh():
+    """Inverse-iteration E fit ~ exact eigh fit on minimal sets."""
+    from sosvo.geometry.essential import fit_essential_fast
+
+    R = so3_exp(jnp.array([0.05, -0.1, 0.3]))
+    t = jnp.array([0.2, 0.1, -0.05])
+    for seed in range(4):
+        r1, r2 = _random_ray_pairs(jax.random.PRNGKey(60 + seed), 8, R, t)
+        w = jnp.ones(8)
+        E_fast = fit_essential_fast(r1, r2, w)
+        res = epipolar_residual_angle(E_fast, r1, r2)
+        assert float(jnp.max(res)) < 1e-3, (seed, float(jnp.max(res)))
