@@ -1,0 +1,67 @@
+"""Live (streaming) VO driver: eager per-frame loop over a frame source.
+
+SURVEY.md C15 names two execution modes: replay (lax.scan over a prestaged
+sequence -- `run_replay*`) and LIVE, where frames arrive one at a time from a
+sensor or the native streamer. This is the live mode: a host loop that pulls
+frames from any iterator (e.g. `sosvo.data.native_loader.SosqReader`, whose
+C++ prefetch thread overlaps decode with the device step), feeds the SAME
+jitted per-frame step, and yields per-frame results as they complete.
+
+Double-buffered dispatch: the device step for frame t runs while the host
+fetches/uploads frame t+1 (JAX dispatch is async; we only block when reading
+the previous result), so decode, H2D copy, and compute overlap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from sosvo.frontend.image_frontend import FrontendLUTs, build_frontend_luts
+from sosvo.sensor.rig import OmnistereoRig
+from sosvo.utils.config import PipelineConfig
+from sosvo.vo.image_pipeline import image_step
+from sosvo.vo.state import StepOutput, TrackState, init_track_state
+
+
+def live_vo(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    frames: Iterable[np.ndarray],
+    key: jax.Array | None = None,
+    luts: FrontendLUTs | None = None,
+    on_frame: Callable[[int, StepOutput], None] | None = None,
+) -> Iterator[tuple[int, StepOutput]]:
+    """Run live VO over an iterable of raw omni frames; yields (idx, output).
+
+    The first call compiles the step (slow); subsequent frames are one async
+    dispatch each. Results are yielded one frame LATE (double buffering): the
+    output for frame t is read back while frame t+1 computes.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if luts is None:
+        luts = build_frontend_luts(rig, cfg.frontend)
+    step_fn = jax.jit(lambda s, img: image_step(rig, luts, cfg, s, img))
+    state = init_track_state(cfg.frontend.max_features, key)
+
+    pending: tuple[int, StepOutput] | None = None
+    idx = -1
+    for idx, frame in enumerate(frames):
+        img = jax.device_put(jax.numpy.asarray(frame, jax.numpy.float32))
+        state, out = step_fn(state, img)   # async dispatch; no host block
+        if pending is not None:
+            p_idx, p_out = pending
+            p_out = jax.block_until_ready(p_out)
+            if on_frame is not None:
+                on_frame(p_idx, p_out)
+            yield p_idx, p_out
+        pending = (idx, out)
+    if pending is not None:
+        p_idx, p_out = pending
+        p_out = jax.block_until_ready(p_out)
+        if on_frame is not None:
+            on_frame(p_idx, p_out)
+        yield p_idx, p_out
