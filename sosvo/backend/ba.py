@@ -36,9 +36,10 @@ import jax
 import jax.numpy as jnp
 
 from sosvo.backend.schur import (
-    reduce_camera_system,
-    back_substitute,
     apply_pose_updates,
+    back_substitute,
+    inv3x3,
+    reduce_camera_system,
 )
 from sosvo.geom.lie import se3_exp, transform_points
 
@@ -164,7 +165,7 @@ def huber_weights(win: BAWindow, delta: float) -> jnp.ndarray:
 
 
 def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
-            anchor: jnp.ndarray | int = 0):
+            anchor: jnp.ndarray | int = 0, use_pallas: bool = False):
     """One damped LM step: build blocks, Schur-reduce, solve, back-substitute.
 
     Returns the CANDIDATE updated window (caller decides accept/reject).
@@ -192,10 +193,18 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
     unobserved = (row_support == 0.0).astype(win.X.dtype)
     clamp = jnp.maximum(one_hot, unobserved)
     H_cc = H_cc + (GAUGE_PRIOR * clamp)[:, None, None] * eye6[None]
-    H_ll = H_ll + lam * eye3[None]
 
-    H_ll_inv = jnp.linalg.inv(H_ll)                     # (L, 3, 3) tiny batched
-    S, b_red = reduce_camera_system(H_cc, H_cl, H_ll_inv, b_c, b_l, axis_name)
+    if use_pallas and axis_name is None:
+        # Fused Pallas Schur path (single-device; the sharded path reduces
+        # partials over the mesh inside the XLA primitive instead).
+        from sosvo.kernels.schur_pallas import reduce_camera_system_pallas
+
+        S, b_red, H_ll_inv = reduce_camera_system_pallas(
+            H_cc, H_cl, H_ll, b_c, b_l, lam,
+            interpret=jax.default_backend() != "tpu", damp_H_cc=False)
+    else:
+        H_ll_inv = inv3x3(H_ll + lam * eye3[None])  # (L, 3, 3) closed form
+        S, b_red = reduce_camera_system(H_cc, H_cl, H_ll_inv, b_c, b_l, axis_name)
 
     # Dense solve of the reduced (6W, 6W) camera system -- cameras are few.
     S_flat = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
@@ -211,7 +220,8 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
 
 def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
              axis_name: str | None = None, anchor: jnp.ndarray | int = 0,
-             huber_delta: float | None = None) -> BAResult:
+             huber_delta: float | None = None,
+             use_pallas: bool = False) -> BAResult:
     """Levenberg-Marquardt with multiplicative damping adaptation.
 
     Accept a step iff it lowers the cost (then lam /= 3), else keep the old
@@ -246,7 +256,7 @@ def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
             cost = ba_cost(w_eff, axis_name)
         else:
             w_eff = w
-        cand_w = lm_step(w_eff, lam, axis_name, anchor)
+        cand_w = lm_step(w_eff, lam, axis_name, anchor, use_pallas)
         cand = w._replace(X=cand_w.X, landmarks=cand_w.landmarks)
         cand_cost = ba_cost(cand._replace(weights=w_eff.weights), axis_name)
         accept = cand_cost < cost

@@ -150,12 +150,16 @@ def schur_reduce_pallas(
 
 
 def reduce_camera_system_pallas(H_cc, H_cl, H_ll, b_c, b_l, lam,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                damp_H_cc: bool = True):
     """Drop-in fused variant of `sosvo.backend.schur.reduce_camera_system`.
 
     Takes the UNDAMPED H_ll plus lam (the kernel fuses the damping +
     inversion); pads the landmark axis to TILE_L internally. Returns
     (S, b_red, H_ll_inv) with H_ll_inv as (L, 3, 3) for back-substitution.
+
+    `damp_H_cc=False` when the caller already damped/gauged H_cc (the BA
+    LM loop does); lam then only damps the landmark blocks in-kernel.
     """
     W = H_cc.shape[0]
     L = H_ll.shape[0]
@@ -177,6 +181,7 @@ def reduce_camera_system_pallas(H_cc, H_cl, H_ll, b_c, b_l, lam,
     S_off = s_off.reshape(W, 6, W, 6).transpose(0, 2, 1, 3)
     eye_w = jnp.eye(W, dtype=H_cc.dtype)
     eye6 = jnp.eye(6, dtype=H_cc.dtype)
-    S = eye_w[:, :, None, None] * (H_cc + lam * eye6[None])[:, None] - S_off
+    H_cc_eff = H_cc + lam * eye6[None] if damp_H_cc else H_cc
+    S = eye_w[:, :, None, None] * H_cc_eff[:, None] - S_off
     b_red = b_c - b_sub.reshape(W, 6)
     return S, b_red, inv9[:L].reshape(L, 3, 3)

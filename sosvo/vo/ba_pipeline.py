@@ -69,7 +69,8 @@ def step_ba(
         # Skip BA until the window has >= 2 keyframes (nothing to adjust).
         def ba(mm):
             mm2, cost = run_window_ba(rig, mm, iters=cfg.ba.iters,
-                                      huber_delta=cfg.ba.huber_delta)
+                                      huber_delta=cfg.ba.huber_delta,
+                                      use_pallas=cfg.ba.use_pallas_schur)
             return mm2, cost
 
         m, cost = jax.lax.cond(m.n_kf >= 2, ba, lambda mm: (mm, jnp.float32(0.0)), m)
