@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sosvo.geom.lie import mat_inv, rt_to_mat, so3_exp, transform_points, rotate_dirs
+from sosvo.geom.lie import mat_inv, rt_to_mat, so3_exp, transform_points
 from sosvo.sensor.model import lift, project, viewpoint
 from sosvo.sensor.rig import OmnistereoRig
 

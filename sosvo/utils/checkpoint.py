@@ -10,7 +10,6 @@ the CLI's --fault-inject).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any
 

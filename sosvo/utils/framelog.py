@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, IO
+from typing import Any
 
 import numpy as np
 

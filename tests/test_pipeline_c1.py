@@ -71,3 +71,31 @@ def test_step_jits_without_retrace():
     n0 = f._cache_size()
     state, _ = f(state, o1)
     assert f._cache_size() == n0  # no retrace across frames
+
+
+def test_tracking_loss_recovery():
+    """Corrupt a mid-sequence frame; the pipeline must hold pose (identity
+    motion) on the bad frame and resume tracking afterwards without NaNs."""
+    rig = default_rig()
+    scene = make_scene(jax.random.PRNGKey(20), n_frames=8, n_landmarks=4096)
+    obs = observe_sequence(rig, scene, 256, jax.random.PRNGKey(21),
+                           pixel_noise=0.2, desc_flip_prob=0.01)
+    # Scramble frame 4's descriptors completely.
+    bad = jax.random.bits(jax.random.PRNGKey(22), obs.desc_top[4].shape,
+                          dtype=jnp.uint32)
+    obs = obs._replace(
+        desc_top=obs.desc_top.at[4].set(bad),
+        desc_bottom=obs.desc_bottom.at[4].set(bad),
+    )
+    cfg = PipelineConfig()
+    state = init_track_state(256, jax.random.PRNGKey(23), T0=scene.poses[0])
+    _, outs = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))(state, obs)
+    ok = np.asarray(outs.pose_ok)
+    assert not ok[4]           # the corrupted frame fails (and also breaks
+    assert not ok[5]           # the 4->5 temporal link: its prev is garbage)
+    assert ok[6] and ok[7]     # tracking resumes two frames later
+    assert not np.isnan(np.asarray(outs.T_world)).any()
+    # Pose error stays bounded: the two held frames cost at most the motion
+    # of two frames, with no blow-up afterwards.
+    err7 = float(jnp.linalg.norm(outs.T_world[7, :3, 3] - scene.poses[7, :3, 3]))
+    assert err7 < 0.2, err7
