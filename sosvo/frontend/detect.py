@@ -70,13 +70,17 @@ def harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
 
 
 def nms_local_max(resp: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
-    """Keep only strict local maxima in a (2r+1)^2 window (wrap columns)."""
+    """Keep only strict local maxima in a (2r+1)^2 window (wrap columns).
+
+    Max-pooling is separable: a 1D row window then a 1D column window give
+    the same (2r+1)^2 max with 2(2r+1) comparisons instead of (2r+1)^2 --
+    the square reduce_window was a measured hot spot of detection on TPU.
+    """
     pad = radius
     x = _wrap_pad(resp, pad)
     win = 2 * radius + 1
-    mx = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (win, win), (1, 1), "VALID"
-    )
+    mx = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (win, 1), (1, 1), "VALID")
+    mx = jax.lax.reduce_window(mx, -jnp.inf, jax.lax.max, (1, win), (1, 1), "VALID")
     return jnp.where(resp >= mx, resp, -jnp.inf)
 
 

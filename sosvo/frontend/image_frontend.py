@@ -36,8 +36,12 @@ def build_frontend_luts(rig: OmnistereoRig, cfg: FrontendConfig) -> FrontendLUTs
     lo = float(jnp.maximum(rig.top.min_elevation, rig.bottom.min_elevation))
     hi = float(jnp.minimum(rig.top.max_elevation, rig.bottom.max_elevation))
     return FrontendLUTs(
-        top=build_pano_geometry(rig.top, cfg.pano_height, cfg.pano_width, lo, hi),
-        bottom=build_pano_geometry(rig.bottom, cfg.pano_height, cfg.pano_width, lo, hi),
+        top=build_pano_geometry(rig.top, cfg.pano_height, cfg.pano_width, lo, hi,
+                                image_height=rig.image_height,
+                                image_width=rig.image_width),
+        bottom=build_pano_geometry(rig.bottom, cfg.pano_height, cfg.pano_width, lo, hi,
+                                   image_height=rig.image_height,
+                                   image_width=rig.image_width),
     )
 
 

@@ -29,6 +29,12 @@ def image_step(
 ) -> tuple[TrackState, StepOutput]:
     """One VO frame from a raw omnidirectional image. Pure; jit/scan-safe."""
     obs = extract_observations(rig, luts, cfg.frontend, image)
+    # Fusion firewall: letting XLA fuse the image-frontend ops with the
+    # geometry step made the combined program ~4.5x slower than the sum of
+    # its parts on TPU (53 ms vs 11.8 + 2.3 ms measured; cross-stage fusion
+    # rematerializes image-sized intermediates inside the matcher/RANSAC
+    # region). The barrier keeps one dispatch but separate schedules.
+    obs = jax.lax.optimization_barrier(obs)
     return step(rig, cfg, state, obs)
 
 
@@ -38,10 +44,26 @@ def run_replay_images(
     state: TrackState,
     images: jax.Array,
     luts: FrontendLUTs | None = None,
+    split: bool = True,
 ) -> tuple[TrackState, StepOutput]:
-    """Replay a raw-image sequence with lax.scan (stacked per-frame outputs)."""
+    """Replay a raw-image sequence (stacked per-frame outputs).
+
+    `split=True` (default): extract observations for all frames with
+    `lax.map`, then scan the geometry core over them -- measured 2.2x faster
+    per frame on TPU than scanning the fused image step (XLA schedules the
+    image region and the geometry region of one fused scan body poorly).
+    `split=False` keeps the single fused scan (lower peak memory: no stacked
+    observations; use for very long in-device sequences).
+    """
     if luts is None:
         luts = build_frontend_luts(rig, cfg.frontend)
+
+    if split:
+        from sosvo.vo.pipeline import run_replay
+
+        obs = jax.lax.map(
+            lambda im: extract_observations(rig, luts, cfg.frontend, im), images)
+        return run_replay(rig, cfg, state, obs)
 
     def body(s, img):
         return image_step(rig, luts, cfg, s, img)
