@@ -62,19 +62,26 @@ def _select_best(residuals: jnp.ndarray, valid: jnp.ndarray, threshold: float):
     return best, inl[best], counts[best]
 
 
-def _bearing_residual(T: jnp.ndarray, pts_prev: jnp.ndarray, rays_curr: jnp.ndarray) -> jnp.ndarray:
-    """Angular error (rad) between predicted directions of transformed previous
-    points and the observed current-frame bearing rays.
+def _bearing_neg_cos(T: jnp.ndarray, pts_prev: jnp.ndarray, rays_curr: jnp.ndarray) -> jnp.ndarray:
+    """NEGATIVE cosine of the bearing error (monotone in the angle, no arccos).
 
-    Depth-insensitive: omnistereo triangulation error grows ~ depth^2/baseline
-    along the ray [P2], so Euclidean 3D residuals would reject every far point
-    under realistic pixel noise while angular residuals stay ~ pixel-noise
-    sized at all ranges. This matches the reference's spherical-reprojection
-    inlier criterion (SURVEY.md C10 "angular reprojection threshold on sphere").
+    Depth-insensitive scoring: omnistereo triangulation error grows
+    ~ depth^2/baseline along the ray [P2], so Euclidean 3D residuals would
+    reject every far point under realistic pixel noise while angular
+    residuals stay ~ pixel-noise sized at all ranges (the reference's
+    spherical-reprojection inlier criterion, SURVEY.md C10). Thresholding
+    -cos(err) < -cos(thr) makes EXACTLY the same inlier decisions as
+    err < thr while skipping H x K arccos evaluations per frame.
     """
     pred = transform_points(T, pts_prev)
     pred = pred / jnp.maximum(jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-9)
-    cosang = jnp.clip(jnp.sum(pred * rays_curr, axis=-1), -1.0, 1.0)
+    return -jnp.sum(pred * rays_curr, axis=-1)
+
+
+def _bearing_residual(T: jnp.ndarray, pts_prev: jnp.ndarray, rays_curr: jnp.ndarray) -> jnp.ndarray:
+    """Angular error (rad) between predicted directions of transformed previous
+    points and the observed current-frame bearing rays (exact; reporting path)."""
+    cosang = jnp.clip(-_bearing_neg_cos(T, pts_prev, rays_curr), -1.0, 1.0)
     return jnp.arccos(cosang)
 
 
@@ -117,8 +124,8 @@ def ransac_rigid(
         res = jnp.linalg.norm(pred - pts_curr, axis=-1)  # (H, K)
         thr = threshold
     else:
-        res = jax.vmap(lambda T: _bearing_residual(T, pts_prev, rays_curr))(T_h)
-        thr = angle_threshold
+        res = jax.vmap(lambda T: _bearing_neg_cos(T, pts_prev, rays_curr))(T_h)
+        thr = -jnp.cos(angle_threshold)
     best, inl, count = _select_best(res, valid, thr)
     T_best = T_h[best]
 
@@ -133,7 +140,7 @@ def ransac_rigid(
         if rays_curr is None:
             r = jnp.linalg.norm(transform_points(T, pts_prev) - pts_curr, axis=-1)
         else:
-            r = _bearing_residual(T, pts_prev, rays_curr)
+            r = _bearing_neg_cos(T, pts_prev, rays_curr)
         m = (r < thr) & valid
         return m, jnp.sum(m.astype(jnp.int32))
 

@@ -116,7 +116,14 @@ def detect_loops(
         w = jnp.where(rr.ok, jnp.minimum(rr.num_inliers.astype(jnp.float32) / min_inliers, 4.0), 0.0)
         return T_edge, w
 
-    T_meas, w = jax.vmap(one_pair)(jnp.asarray(pi), jnp.asarray(pj), keys)
+    # lax.map (chunked), not vmap: vmapping the matcher over all O(n_kf^2)
+    # pairs would materialize every pair's K x K distance matrix at once
+    # (terabytes at c3 scale); mapping runs pairs in small batches.
+    T_meas, w = jax.lax.map(
+        lambda args: one_pair(*args),
+        (jnp.asarray(pi), jnp.asarray(pj), keys),
+        batch_size=8,
+    )
     return jnp.asarray(pj), jnp.asarray(pi), T_meas, w
 
 
