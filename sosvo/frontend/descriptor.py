@@ -7,11 +7,16 @@ set of point pairs in a patch (same idea as BRIEF's learned/ random pattern),
 generated deterministically at import time, and the per-keypoint sampling is
 ONE big gather over the smoothed panorama -- K x 256 x 2 samples fused by XLA.
 
-Orientation steering is intentionally omitted: panoramas are gravity/axis
-aligned by construction (the rig's mirror axis fixes "up"), so in-plane
-rotation between frames is bounded by roll, which is small for the MAV
-platform [P2]. This matches how the reference uses upright features on
-panoramas [P1].
+Orientation steering (rBRIEF, the "oriented" in ORB) is available but off by
+default: panoramas are gravity/axis aligned by construction (the rig's mirror
+axis fixes "up"), so in-plane rotation between frames is bounded by roll,
+which is small for the MAV platform [P2], and upright BRIEF is both cheaper
+and more discriminative when rotation is absent. Set
+`FrontendConfig.oriented=True` to steer: per-keypoint angle from the
+intensity centroid of a radius-7 disk (ORB's IC_Angle), the sampling pattern
+rotated by that angle before the gather -- the TPU-native equivalent of
+OpenCV's steered-BRIEF lookup tables, except the rotation is exact instead of
+quantized to 30 bins.
 
 Bits are packed 32-per-uint32 into DESC_WORDS words for the Hamming matcher.
 Columns wrap (azimuth); rows clamp.
@@ -29,6 +34,32 @@ NBITS = 256
 WORDS = NBITS // 32
 
 
+def _disk_offsets(radius: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """All integer (drow, dcol) offsets within `radius`, as two flat arrays."""
+    rr, cc = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    keep = rr * rr + cc * cc <= radius * radius
+    return rr[keep].astype(np.float32), cc[keep].astype(np.float32)
+
+
+_DISK_DR, _DISK_DC = _disk_offsets()
+
+
+def orientation(img: jnp.ndarray, kps: Keypoints) -> jnp.ndarray:
+    """Per-keypoint patch orientation by intensity centroid (ORB IC_Angle).
+
+    theta = atan2(m01, m10) over a radius-7 disk, with m10 = sum(dc * I) and
+    m01 = sum(dr * I). One fused (K, |disk|) gather; columns wrap (azimuth),
+    rows clamp. Returns (K,) float32 radians.
+    """
+    h, w = img.shape
+    r = jnp.round(kps.rows[:, None] + jnp.asarray(_DISK_DR)[None, :]).astype(jnp.int32)
+    c = jnp.round(kps.cols[:, None] + jnp.asarray(_DISK_DC)[None, :]).astype(jnp.int32)
+    patch = img[jnp.clip(r, 0, h - 1), jnp.mod(c, w)]  # (K, |disk|)
+    m10 = jnp.sum(patch * jnp.asarray(_DISK_DC)[None, :], axis=1)
+    m01 = jnp.sum(patch * jnp.asarray(_DISK_DR)[None, :], axis=1)
+    return jnp.arctan2(m01, m10)
+
+
 def _make_pattern(patch: int = 24, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """Fixed random BRIEF pattern: two (NBITS, 2) float offsets, Gaussian-
     distributed within the patch (sigma = patch/5, BRIEF-G II)."""
@@ -42,22 +73,37 @@ def _make_pattern(patch: int = 24, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 _PAT_A, _PAT_B = _make_pattern()
 
 
-def describe(pano: jnp.ndarray, kps: Keypoints, smoothed: jnp.ndarray | None = None) -> jnp.ndarray:
+def describe(
+    pano: jnp.ndarray,
+    kps: Keypoints,
+    smoothed: jnp.ndarray | None = None,
+    angles: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """(K, WORDS) uint32 packed descriptors at the keypoints.
 
     Args:
       pano: (H, W) panorama (used only if `smoothed` is None).
       kps: fixed-size keypoints (rows/cols may be subpixel; samples round).
       smoothed: optionally the pre-smoothed panorama (reuse the detector's).
+      angles: optional (K,) patch orientations (radians); when given the
+        sampling pattern is rotated per keypoint (steered BRIEF / rBRIEF).
     """
     img = gaussian_smooth(pano) if smoothed is None else smoothed
     h, w = img.shape
     pa = jnp.asarray(_PAT_A)  # (NBITS, 2) as (drow, dcol)
     pb = jnp.asarray(_PAT_B)
 
+    if angles is not None:
+        ca, sa = jnp.cos(angles)[:, None], jnp.sin(angles)[:, None]
+
     def sample(offsets):
-        r = jnp.round(kps.rows[:, None] + offsets[None, :, 0]).astype(jnp.int32)
-        c = jnp.round(kps.cols[:, None] + offsets[None, :, 1]).astype(jnp.int32)
+        dr, dc = offsets[None, :, 0], offsets[None, :, 1]  # (1, NBITS)
+        if angles is not None:
+            # Rotate the pattern into the patch frame (x=col, y=row, y down):
+            # same convention as ORB's steered BRIEF.
+            dr, dc = sa * dc + ca * dr, ca * dc - sa * dr
+        r = jnp.round(kps.rows[:, None] + dr).astype(jnp.int32)
+        c = jnp.round(kps.cols[:, None] + dc).astype(jnp.int32)
         r = jnp.clip(r, 0, h - 1)
         c = jnp.mod(c, w)  # azimuth wrap
         return img[r, c]  # (K, NBITS)

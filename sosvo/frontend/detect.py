@@ -84,12 +84,64 @@ def nms_local_max(resp: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
     return jnp.where(resp >= mx, resp, -jnp.inf)
 
 
+# Bresenham circle of radius 3 (FAST-16 ring), in (drow, dcol) order going
+# clockwise from the top of the circle -- the order matters for the
+# contiguous-arc test, not the starting point.
+_FAST_RING = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+def fast_mask(img: jnp.ndarray, threshold: float = 0.04, arc: int = 9) -> jnp.ndarray:
+    """FAST-N segment-test corner mask (the ORB detector's first stage).
+
+    A pixel is a corner if `arc` CONTIGUOUS pixels on the 16-point Bresenham
+    ring are all brighter than center+t or all darker than center-t. The
+    reference reaches this through OpenCV's C++ `FAST_9_16` inside
+    `cv2.ORB_create` (SURVEY.md C6); here the 16 ring views are 16 statically
+    shifted slices of the wrap-padded panorama and the circular-run test is a
+    fixed AND-reduction -- one fused elementwise XLA computation, no
+    data-dependent control flow.
+
+    Args:
+      img: (H, W) float panorama (any brightness scale; `threshold` is in the
+        same units).
+      threshold: center-vs-ring intensity margin t.
+      arc: run length N of the segment test (9 = FAST-9, ORB's default).
+
+    Returns:
+      (H, W) bool corner mask.
+    """
+    h, w = img.shape
+    pad = 3
+    x = _wrap_pad(img, pad)
+    ring = jnp.stack(
+        [x[pad + dr : pad + dr + h, pad + dc : pad + dc + w] for dr, dc in _FAST_RING],
+        axis=0,
+    )  # (16, H, W)
+    bright = ring > img[None] + threshold
+    dark = ring < img[None] - threshold
+
+    def has_run(flags):
+        # Circular run of length `arc`: AND of `arc` consecutive rotations,
+        # then OR over the 16 starting positions.
+        run = flags
+        for j in range(1, arc):
+            run = run & jnp.roll(flags, -j, axis=0)
+        return jnp.any(run, axis=0)
+
+    return has_run(bright) | has_run(dark)
+
+
 def detect(
     pano: jnp.ndarray,
     max_features: int,
     threshold: float = 1e-6,
     nms_radius: int = 1,
     border_rows: int = 12,
+    detector: str = "harris",
+    fast_threshold: float = 0.04,
 ) -> Keypoints:
     """Detect up to K Harris corners; fixed-size output with validity mask.
 
@@ -101,10 +153,21 @@ def detect(
         invariant).
       border_rows: rows excluded at top/bottom (descriptor patch must fit;
         columns wrap so no horizontal border is needed).
+      detector: "harris" (default) or "fast" -- FAST-9 segment test gating
+        with Harris ranking of the surviving pixels, which is exactly ORB's
+        detector composition (FAST candidates ranked by Harris score).
+      fast_threshold: FAST center-vs-ring margin (only used for "fast").
     """
     h, w = pano.shape
-    resp_raw = harris_response(gaussian_smooth(pano))
-    resp = nms_local_max(resp_raw, nms_radius)
+    smoothed = gaussian_smooth(pano)
+    resp_raw = harris_response(smoothed)  # ungated: used for subpixel fit
+    if detector == "fast":
+        resp_sel = jnp.where(fast_mask(smoothed, fast_threshold), resp_raw, -jnp.inf)
+    elif detector == "harris":
+        resp_sel = resp_raw
+    else:
+        raise ValueError(f"unknown detector {detector!r}")
+    resp = nms_local_max(resp_sel, nms_radius)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     in_band = (row_ids >= border_rows) & (row_ids < h - border_rows)
     resp = jnp.where(in_band, resp, -jnp.inf)

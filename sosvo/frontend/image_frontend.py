@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sosvo.frontend.descriptor import describe
+from sosvo.frontend.descriptor import describe, orientation
 from sosvo.frontend.detect import detect, gaussian_smooth
 from sosvo.frontend.panorama import PanoGeometry, build_pano_geometry, pano_ray, warp_panorama
 from sosvo.sensor.model import project
@@ -54,23 +54,54 @@ def extract_observations(
     """Full frontend for one raw omni image; fixed K slots per view."""
     k = cfg.max_features
 
+    def halve(img: jnp.ndarray) -> jnp.ndarray:
+        """Factor-2 average-pool downsample (pyramid octave)."""
+        h, w = img.shape
+        return img.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
     def run_view(view, geom: PanoGeometry):
         pano = warp_panorama(image, geom)
-        smoothed = gaussian_smooth(pano)
-        kps = detect(
-            pano,
-            k,
-            threshold=cfg.detect_threshold * 1e-7,
-            nms_radius=cfg.nms_grid,
-            border_rows=cfg.descriptor_patch // 2 + 2,
-        )
-        desc = describe(pano, kps, smoothed=smoothed)
+        # K feature slots split across pyramid octaves (n_scales=1: all at
+        # full resolution). Coarse-level keypoints are detected AND described
+        # on the downsampled panorama (scale invariance, like ORB's per-level
+        # extraction), then their coordinates map back to full resolution for
+        # ray lifting.
+        ks = [k - (cfg.n_scales - 1) * (k // cfg.n_scales)] + \
+             [k // cfg.n_scales] * (cfg.n_scales - 1)
+        rows_l, cols_l, resp_l, ok_l, desc_l = [], [], [], [], []
+        lvl_img = pano
+        for lvl in range(cfg.n_scales):
+            if lvl > 0:
+                lvl_img = halve(lvl_img)
+            smoothed = gaussian_smooth(lvl_img)
+            kps = detect(
+                lvl_img,
+                ks[lvl],
+                threshold=cfg.detect_threshold * 1e-7,
+                nms_radius=cfg.nms_grid,
+                border_rows=cfg.descriptor_patch // 2 + 2,
+                detector=cfg.detector,
+                fast_threshold=cfg.fast_threshold,
+            )
+            angles = orientation(smoothed, kps) if cfg.oriented else None
+            desc_l.append(describe(lvl_img, kps, smoothed=smoothed, angles=angles))
+            s = float(2 ** lvl)
+            # Center-of-pool alignment: pooled cell i covers full-res
+            # [s*i, s*i + s), whose center is s*i + (s-1)/2.
+            rows_l.append(kps.rows * s + (s - 1.0) / 2.0)
+            cols_l.append(kps.cols * s + (s - 1.0) / 2.0)
+            resp_l.append(kps.response)
+            ok_l.append(kps.valid)
+        rows = jnp.concatenate(rows_l)
+        cols = jnp.concatenate(cols_l)
+        valid = jnp.concatenate(ok_l)
+        desc = jnp.concatenate(desc_l, axis=0)
         rays = pano_ray(geom.height, geom.width, geom.min_elevation, geom.max_elevation,
-                        kps.rows, kps.cols)
+                        rows, cols)
         uv, _ = project(view, rays)
         # Keypoints whose pano cell has no raw-image support are invalid.
-        lut_ok = geom.valid[kps.rows.astype(jnp.int32), kps.cols.astype(jnp.int32)]
-        return uv, rays, desc, kps.valid & lut_ok
+        lut_ok = geom.valid[rows.astype(jnp.int32), cols.astype(jnp.int32)]
+        return uv, rays, desc, valid & lut_ok
 
     uv_t, ray_t, desc_t, ok_t = run_view(rig.top, luts.top)
     uv_b, ray_b, desc_b, ok_b = run_view(rig.bottom, luts.bottom)

@@ -29,6 +29,10 @@ class FrontendConfig:
     pano_width: int = 1024           # panorama cols (azimuth samples)
     descriptor_patch: int = 24       # BRIEF-style sampling patch size
     use_pallas_match: bool = False   # fused Pallas kernel vs XLA matcher
+    detector: str = "harris"         # "harris" | "fast" (FAST-9 + Harris rank, ORB-style)
+    fast_threshold: float = 0.04     # FAST segment-test margin (intensity units)
+    oriented: bool = False           # steered BRIEF (rBRIEF) via IC_Angle
+    n_scales: int = 1                # pyramid levels (factor-2 octaves); K split across levels
 
 
 @dataclass(frozen=True)
