@@ -106,6 +106,98 @@ def pgo_cost(g: PoseGraph, axis_name: str | None = None) -> jnp.ndarray:
     return cost
 
 
+def _edge_terms(g: PoseGraph):
+    """Per-edge weighted residual + endpoint Jacobians, vmapped."""
+    return jax.vmap(_edge_jacobians)(g.X[g.ei], g.X[g.ej], g.T_meas, g.w)
+
+
+def _node_clamp(g: PoseGraph, anchor) -> jnp.ndarray:
+    """(N,) gauge/invalid-slot prior strength multiplier."""
+    N = g.X.shape[0]
+    one_hot = (jnp.arange(N) == anchor).astype(g.X.dtype)
+    return jnp.maximum(one_hot, 1.0 - g.node_valid.astype(g.X.dtype))
+
+
+def _pcg(matvec, precond, b, iters: int, dot=None):
+    """Preconditioned conjugate gradients, fixed iteration count (lax.scan).
+
+    The pose-graph Hessian is block-tridiagonal-plus-loop-edges -- CG with a
+    block-Jacobi preconditioner is the SURVEY.md C14 'fixed-pattern sparse
+    solve'. All shapes static; convergence handled by the fixed budget plus
+    an alpha guard (alpha -> 0 once the residual underflows).
+
+    `dot` is pluggable so sharded callers can psum the reductions (the
+    time-sharded solver in sosvo/dist/pgo_time.py passes a psummed dot).
+    """
+    eps = jnp.asarray(1e-30, b.dtype)
+
+    if dot is None:
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = dot(r, z)
+
+    def body(carry, _):
+        x, r, z, p, rz = carry
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), eps)
+        x2 = x + alpha * p
+        r2 = r - alpha * Ap
+        z2 = precond(r2)
+        rz2 = dot(r2, z2)
+        beta = rz2 / jnp.maximum(rz, eps)
+        p2 = z2 + beta * p
+        return (x2, r2, z2, p2, rz2), None
+
+    (x, *_), _ = jax.lax.scan(body, (x, r, z, p, rz), None, length=iters)
+    return x
+
+
+def _gn_step_cg(g: PoseGraph, lam, axis_name, anchor, cg_iters: int):
+    """One damped GN step with a matrix-free CG solve: O(E) memory instead of
+    the dense path's O(N^2) blocks, so pose graphs scale to long trajectories
+    (SURVEY.md SS5.7 'long context'). Under edge sharding the matvec psums per
+    CG iteration -- the same collective pattern as the BA Schur reduction."""
+    r, J_i, J_j = _edge_terms(g)
+    N = g.X.shape[0]
+
+    b = jnp.zeros((N, 6), g.X.dtype)
+    b = b.at[g.ei].add(jnp.einsum("erc,er->ec", J_i, r))
+    b = b.at[g.ej].add(jnp.einsum("erc,er->ec", J_j, r))
+    # Block-Jacobi preconditioner blocks: the diagonal of H.
+    D = jnp.zeros((N, 6, 6), g.X.dtype)
+    D = D.at[g.ei].add(jnp.einsum("eri,erj->eij", J_i, J_i))
+    D = D.at[g.ej].add(jnp.einsum("eri,erj->eij", J_j, J_j))
+    if axis_name is not None:
+        b = jax.lax.psum(b, axis_name)
+        D = jax.lax.psum(D, axis_name)
+
+    diag_add = lam + GAUGE_PRIOR * _node_clamp(g, anchor)  # (N,)
+    D = D + diag_add[:, None, None] * jnp.eye(6, dtype=g.X.dtype)
+
+    def matvec(v):
+        t = jnp.einsum("erc,ec->er", J_i, v[g.ei]) + jnp.einsum("erc,ec->er", J_j, v[g.ej])
+        u = jnp.zeros_like(v)
+        u = u.at[g.ei].add(jnp.einsum("erc,er->ec", J_i, t))
+        u = u.at[g.ej].add(jnp.einsum("erc,er->ec", J_j, t))
+        if axis_name is not None:
+            u = jax.lax.psum(u, axis_name)
+        return u + diag_add[:, None] * v
+
+    def precond(v):
+        return jnp.linalg.solve(D, v[..., None])[..., 0]
+
+    delta = _pcg(matvec, precond, -b, cg_iters)
+    clamp = _node_clamp(g, anchor)
+    delta = delta * (1.0 - clamp)[:, None]
+    X_new = jnp.einsum("nij,njk->nik", se3_exp(delta), g.X)
+    return g._replace(X=X_new)
+
+
 def _gn_step(g: PoseGraph, lam, axis_name, anchor):
     N = g.X.shape[0]
     H, b, _ = build_system(g, axis_name)
@@ -125,8 +217,16 @@ def _gn_step(g: PoseGraph, lam, axis_name, anchor):
 
 def pgo_solve(g: PoseGraph, iters: int = 10, lam0: float = 1e-4,
               axis_name: str | None = None,
-              anchor: jnp.ndarray | int = 0) -> PGOResult:
-    """Damped GN with accept/reject, fixed iteration count (lax.scan)."""
+              anchor: jnp.ndarray | int = 0,
+              solver: str = "dense", cg_iters: int = 32) -> PGOResult:
+    """Damped GN with accept/reject, fixed iteration count (lax.scan).
+
+    solver="dense": exact 6Nx6N solve (small graphs).
+    solver="cg": matrix-free block-Jacobi PCG, O(E) memory -- use for long
+      trajectories / sharded edges (SURVEY.md C14 sparse solve).
+    """
+    if solver not in ("dense", "cg"):
+        raise ValueError(f"unknown solver {solver!r}")
     cost0 = pgo_cost(g, axis_name)
     lam = jnp.asarray(lam0, g.X.dtype)
 
@@ -141,7 +241,10 @@ def pgo_solve(g: PoseGraph, iters: int = 10, lam0: float = 1e-4,
 
     def body(carry, _):
         gg, lam, cost = carry
-        cand = _gn_step(gg, lam, axis_name, anchor)
+        if solver == "cg":
+            cand = _gn_step_cg(gg, lam, axis_name, anchor, cg_iters)
+        else:
+            cand = _gn_step(gg, lam, axis_name, anchor)
         cand_cost = pgo_cost(cand, axis_name)
         accept = cand_cost < cost
         g_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, gg)
