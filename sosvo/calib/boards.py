@@ -1,0 +1,174 @@
+"""Chessboard-based rig calibration: the full C16 toolchain outer loop.
+
+The reference's calibration toolchain (SURVEY.md C16: "fit GUM params per
+mirror from chessboard/control points … scipy least_squares") alternates
+between estimating board poses and refining mirror-model parameters. Here the
+whole thing is ONE joint damped Gauss-Newton problem, entirely jitted:
+
+  parameters  p = [intrinsics_top(5) | intrinsics_bottom(5) | baseline(1)
+                   | board poses (M, 6) in SE(3) tangent coords]
+  residuals   r = all weighted reprojection errors of the known board grid
+                  through BOTH views of the omnistereo rig
+
+Board poses are initialized without any PnP machinery by exploiting the
+sensor itself: lift each corner observation to rays in both views,
+stereo-triangulate (midpoint of the common perpendicular, SURVEY.md C8),
+then Umeyama-align the known board grid to the triangulated cloud (C11).
+That closed-form init is accurate enough for the joint GN to converge from
+realistic intrinsic perturbations.
+
+The problem is tiny (tens of parameters, thousands of residuals), so the
+normal equations are formed densely and solved with `jnp.linalg.solve` —
+the MXU-friendly shape is the (R, P) Jacobian matmul, which XLA fuses.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sosvo.geom.lie import se3_exp
+from sosvo.geometry.align import umeyama
+from sosvo.geometry.triangulate import midpoint_triangulate
+from sosvo.sensor.model import ViewParams, lift, project, viewpoint
+from sosvo.sensor.rig import OmnistereoRig
+
+# Per-view intrinsic block layout: [xi, fx, fy, cx, cy]
+N_INTR = 5
+
+
+class BoardObservations(NamedTuple):
+    """M boards × G grid corners observed through the omnistereo rig.
+
+    Weights are 0 where a corner was not detected in that view (fixed-shape
+    masking, as everywhere in this framework).
+    """
+
+    pts_board: jnp.ndarray   # (G, 3) known board-frame corner coordinates (z=0)
+    uv_top: jnp.ndarray      # (M, G, 2) observed pixels in the top view
+    w_top: jnp.ndarray       # (M, G) detection weights
+    uv_bottom: jnp.ndarray   # (M, G, 2)
+    w_bottom: jnp.ndarray    # (M, G)
+
+
+class RigCalibResult(NamedTuple):
+    rig: OmnistereoRig       # calibrated rig (elevation bands kept from init)
+    poses: jnp.ndarray       # (M, 4, 4) rig-from-board transforms
+    rms_px: jnp.ndarray      # () final reprojection RMS (pixels)
+    rms0_px: jnp.ndarray     # () RMS at the initialization
+    accepted: jnp.ndarray    # (iters,) LM step acceptance trace
+
+
+def make_board_grid(nx: int = 8, ny: int = 6, square: float = 0.04) -> jnp.ndarray:
+    """(nx*ny, 3) planar chessboard corner grid, centered, z = 0."""
+    xs = (jnp.arange(nx) - (nx - 1) / 2.0) * square
+    ys = (jnp.arange(ny) - (ny - 1) / 2.0) * square
+    gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1),
+                      jnp.zeros(nx * ny)], axis=-1).astype(jnp.float32)
+
+
+def init_board_poses(rig: OmnistereoRig, obs: BoardObservations) -> jnp.ndarray:
+    """(M, 4, 4) closed-form rig-from-board inits via triangulate + Umeyama."""
+    ray_t, ok_t = lift(rig.top, obs.uv_top)        # (M, G, 3)
+    ray_b, ok_b = lift(rig.bottom, obs.uv_bottom)
+    c_t = jnp.broadcast_to(viewpoint(rig.top), ray_t.shape)
+    c_b = jnp.broadcast_to(viewpoint(rig.bottom), ray_b.shape)
+    tri = midpoint_triangulate(ray_t, ray_b, c_t, c_b)
+    w = (obs.w_top * obs.w_bottom
+         * ok_t.astype(jnp.float32) * ok_b.astype(jnp.float32)
+         * tri.valid.astype(jnp.float32))           # (M, G)
+    src = jnp.broadcast_to(obs.pts_board, tri.points.shape)
+    T, _ = umeyama(src, tri.points, weights=w)
+    return T
+
+
+def _unpack(p: jnp.ndarray, rig0: OmnistereoRig, n_boards: int):
+    """Parameter vector → (top view, bottom view, (M,4,4) poses)."""
+    it, ib = p[:N_INTR], p[N_INTR:2 * N_INTR]
+    z_bot = p[2 * N_INTR]
+    top = rig0.top._replace(xi=it[0], fx=it[1], fy=it[2], cx=it[3], cy=it[4])
+    bottom = rig0.bottom._replace(xi=ib[0], fx=ib[1], fy=ib[2], cx=ib[3],
+                                  cy=ib[4], z_offset=z_bot)
+    tangents = p[2 * N_INTR + 1:].reshape(n_boards, 6)
+    poses = jax.vmap(se3_exp)(tangents)
+    return top, bottom, poses
+
+
+def _pack(rig: OmnistereoRig, pose_tangents: jnp.ndarray) -> jnp.ndarray:
+    def intr(v: ViewParams):
+        return jnp.stack([v.xi, v.fx, v.fy, v.cx, v.cy])
+    return jnp.concatenate([intr(rig.top), intr(rig.bottom),
+                            rig.bottom.z_offset[None],
+                            pose_tangents.reshape(-1)])
+
+
+def _residuals(p: jnp.ndarray, rig0: OmnistereoRig,
+               obs: BoardObservations) -> jnp.ndarray:
+    """All weighted reprojection residuals, flattened (4·M·G,)."""
+    m = obs.uv_top.shape[0]
+    top, bottom, poses = _unpack(p, rig0, m)
+    # (M, G, 3) board corners in the rig frame.
+    pts_rig = jnp.einsum("mij,gj->mgi", poses[:, :3, :3], obs.pts_board) \
+        + poses[:, None, :3, 3]
+
+    def view_res(view: ViewParams, uv_obs, w):
+        uv, _ = project(view, pts_rig - viewpoint(view))
+        return ((uv - uv_obs) * w[..., None]).reshape(-1)
+
+    return jnp.concatenate([view_res(top, obs.uv_top, obs.w_top),
+                            view_res(bottom, obs.uv_bottom, obs.w_bottom)])
+
+
+def fit_rig_from_boards(
+    rig0: OmnistereoRig,
+    obs: BoardObservations,
+    poses0: jnp.ndarray | None = None,
+    iters: int = 30,
+    lam0: float = 1e-2,
+    fit_baseline: bool = True,
+) -> RigCalibResult:
+    """Joint LM over both views' intrinsics, the baseline, and board poses."""
+    m = obs.uv_top.shape[0]
+    if poses0 is None:
+        poses0 = init_board_poses(rig0, obs)
+    # SE(3) tangent init: log of the closed-form poses. se3_log exists in
+    # geom.lie; import here to keep module top imports minimal.
+    from sosvo.geom.lie import se3_log
+    p0 = _pack(rig0, jax.vmap(se3_log)(poses0))
+    n_params = p0.shape[0]
+
+    # The baseline (bottom z_offset) is only observable with a metric board;
+    # optionally freeze it (e.g. boards seen in one view only).
+    move = jnp.ones((n_params,)).at[2 * N_INTR].set(1.0 if fit_baseline else 0.0)
+
+    n_obs = jnp.maximum(jnp.sum(obs.w_top > 0) + jnp.sum(obs.w_bottom > 0), 1)
+
+    def rms(p):
+        r = _residuals(p, rig0, obs).reshape(-1, 2)
+        return jnp.sqrt(jnp.sum(r * r) / n_obs)
+
+    def body(carry, _):
+        p, lam, cost = carry
+        r = _residuals(p, rig0, obs)
+        J = jax.jacfwd(_residuals)(p, rig0, obs) * move[None, :]
+        H = J.T @ J
+        # Marquardt scaling: damp by the diagonal so pixels-vs-radians
+        # parameter scales don't need hand conditioning.
+        H = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+        cand = p - jnp.linalg.solve(H, J.T @ r) * move
+        cand_cost = rms(cand)
+        accept = cand_cost < cost
+        p_next = jnp.where(accept, cand, p)
+        lam_next = jnp.clip(jnp.where(accept, lam / 3.0, lam * 9.0), 1e-10, 1e6)
+        return (p_next, lam_next, jnp.where(accept, cand_cost, cost)), accept
+
+    cost0 = rms(p0)
+    (p_fin, _, cost_fin), accepted = jax.lax.scan(
+        body, (p0, jnp.asarray(lam0, jnp.float32), cost0), None, length=iters)
+    top, bottom, poses = _unpack(p_fin, rig0, m)
+    return RigCalibResult(rig=rig0._replace(top=top, bottom=bottom),
+                          poses=poses, rms_px=cost_fin, rms0_px=cost0,
+                          accepted=accepted)

@@ -113,3 +113,98 @@ def describe(
     grouped = bits.reshape(k, WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(grouped << shifts, axis=-1, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# SIFT-style float descriptor (the reference's `cv2.SIFT_create` option)
+# ---------------------------------------------------------------------------
+
+SIFT_CELLS = 4      # spatial cells per side
+SIFT_SPC = 4        # samples per cell per side -> 16x16 sample grid
+SIFT_BINS = 8       # orientation bins
+SIFT_DIM = SIFT_CELLS * SIFT_CELLS * SIFT_BINS  # 128
+_SIFT_SIDE = SIFT_CELLS * SIFT_SPC              # 16
+_SIFT_CLIP = 0.2    # standard SIFT histogram clipping
+
+
+def _sift_grid() -> np.ndarray:
+    """(S+2, S+2, 2) float sample offsets: 16x16 descriptor grid plus a
+    one-sample halo on each side for central-difference gradients."""
+    s = _SIFT_SIDE + 2
+    ax = np.arange(s, dtype=np.float32) - (s - 1) / 2.0
+    rr, cc = np.meshgrid(ax, ax, indexing="ij")
+    return np.stack([rr, cc], axis=-1)
+
+
+_SIFT_GRID = _sift_grid()
+# Gaussian spatial weight over the 16x16 descriptor window (sigma = half side,
+# as in Lowe's SIFT), evaluated at the inner grid samples.
+_SIFT_W = np.exp(
+    -(_SIFT_GRID[1:-1, 1:-1, 0] ** 2 + _SIFT_GRID[1:-1, 1:-1, 1] ** 2)
+    / (2.0 * (_SIFT_SIDE / 2.0) ** 2)
+).astype(np.float32)
+
+
+def describe_sift(
+    pano: jnp.ndarray,
+    kps: Keypoints,
+    smoothed: jnp.ndarray | None = None,
+    angles: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(K, 128) float32 SIFT-style descriptors at the keypoints.
+
+    TPU-native equivalent of the reference's optional SIFT frontend (SURVEY.md
+    C6 lists "ORB default; SIFT/AKAZE options"): 4x4 spatial cells x 8
+    orientation bins of Gaussian-weighted gradient magnitude over a 16x16
+    sample grid, trilinear in orientation, L2-normalized with the standard
+    0.2 clip-and-renormalize. Everything is ONE fused gather of an 18x18
+    per-keypoint patch plus dense vector math -- no scatter, no loops -- so it
+    jits and fuses with the rest of the frontend.
+
+    When `angles` is given the sample grid is rotated per keypoint; because
+    gradients are taken by differencing along the rotated grid axes, they are
+    natively expressed in the patch frame (rotation invariance without a
+    separate orientation correction).
+    """
+    img = gaussian_smooth(pano) if smoothed is None else smoothed
+    h, w = img.shape
+    grid = jnp.asarray(_SIFT_GRID)  # (18, 18, 2)
+    dr = grid[..., 0].reshape(-1)[None, :]  # (1, 324)
+    dc = grid[..., 1].reshape(-1)[None, :]
+    if angles is not None:
+        ca, sa = jnp.cos(angles)[:, None], jnp.sin(angles)[:, None]
+        dr, dc = sa * dc + ca * dr, ca * dc - sa * dr
+    r = jnp.clip(jnp.round(kps.rows[:, None] + dr).astype(jnp.int32), 0, h - 1)
+    c = jnp.mod(jnp.round(kps.cols[:, None] + dc).astype(jnp.int32), w)
+    side = _SIFT_SIDE + 2
+    patch = img[r, c].reshape(-1, side, side)  # (K, 18, 18)
+
+    # Central differences along the (possibly rotated) grid axes = patch-frame
+    # gradients. Inner 16x16 window only.
+    gy = (patch[:, 2:, 1:-1] - patch[:, :-2, 1:-1]) * 0.5  # (K, 16, 16)
+    gx = (patch[:, 1:-1, 2:] - patch[:, 1:-1, :-2]) * 0.5
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-20) * jnp.asarray(_SIFT_W)[None]
+    theta = jnp.arctan2(gy, gx)  # [-pi, pi]
+
+    # Trilinear orientation binning: split each sample between its two
+    # nearest orientation bins (one-hot matmul-free formulation).
+    tb = (theta / (2.0 * jnp.pi) + 0.5) * SIFT_BINS  # [0, 8]
+    b0 = jnp.floor(tb)
+    f = tb - b0
+    b0 = jnp.mod(b0.astype(jnp.int32), SIFT_BINS)
+    b1 = jnp.mod(b0 + 1, SIFT_BINS)
+    bins = jnp.arange(SIFT_BINS, dtype=jnp.int32)
+    contrib = mag[..., None] * (
+        (bins == b0[..., None]) * (1.0 - f[..., None])
+        + (bins == b1[..., None]) * f[..., None]
+    )  # (K, 16, 16, 8)
+
+    k = contrib.shape[0]
+    hist = contrib.reshape(
+        k, SIFT_CELLS, SIFT_SPC, SIFT_CELLS, SIFT_SPC, SIFT_BINS
+    ).sum(axis=(2, 4)).reshape(k, SIFT_DIM)
+
+    # L2 normalize -> clip at 0.2 -> renormalize (illumination robustness).
+    hist = hist / jnp.linalg.norm(hist, axis=1, keepdims=True).clip(1e-12)
+    hist = jnp.minimum(hist, _SIFT_CLIP)
+    return (hist / jnp.linalg.norm(hist, axis=1, keepdims=True).clip(1e-12)).astype(jnp.float32)

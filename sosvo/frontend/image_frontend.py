@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sosvo.frontend.descriptor import describe, orientation
+from sosvo.frontend.descriptor import describe, describe_sift, orientation
 from sosvo.frontend.detect import detect, gaussian_smooth
 from sosvo.frontend.panorama import PanoGeometry, build_pano_geometry, pano_ray, warp_panorama
 from sosvo.sensor.model import project
@@ -84,7 +84,8 @@ def extract_observations(
                 fast_threshold=cfg.fast_threshold,
             )
             angles = orientation(smoothed, kps) if cfg.oriented else None
-            desc_l.append(describe(lvl_img, kps, smoothed=smoothed, angles=angles))
+            describe_fn = describe_sift if cfg.descriptor == "sift" else describe
+            desc_l.append(describe_fn(lvl_img, kps, smoothed=smoothed, angles=angles))
             s = float(2 ** lvl)
             # Center-of-pool alignment: pooled cell i covers full-res
             # [s*i, s*i + s), whose center is s*i + (s-1)/2.

@@ -76,6 +76,26 @@ def hamming_matrix_mxu(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     return (NBITS - dot) * 0.5
 
 
+def l2_matrix_mxu(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """(KA, KB) Euclidean distance matrix for float descriptors (SIFT path).
+
+    ||a-b|| via the Gram trick: one (KA, D) x (D, KB) matmul on the MXU plus
+    two rank-1 norm terms -- the L2 analog of `hamming_matrix_mxu`, used when
+    the frontend runs the SIFT-style descriptor (SURVEY.md C6 options).
+    f32 matmul: descriptors are unit-norm 128-dim, so the Gram term is O(1)
+    and f32 keeps the small-distance regime (matching pairs) accurate.
+    """
+    gram = jax.lax.dot_general(
+        desc_a, desc_b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sq = (jnp.sum(desc_a * desc_a, axis=1)[:, None]
+          + jnp.sum(desc_b * desc_b, axis=1)[None, :] - 2.0 * gram)
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
 def column_band_penalty(cols_a: jnp.ndarray, cols_b: jnp.ndarray, max_delta: float,
                         wrap: int | None = None) -> jnp.ndarray:
     """(KA, KB) additive penalty: BIG outside the +/-max_delta column band.
@@ -102,14 +122,21 @@ def match(
     cross_check: bool = True,
     penalty: jnp.ndarray | None = None,
     use_mxu: bool = True,
+    metric: str = "hamming",
 ) -> MatchResult:
-    """Brute-force Hamming matching with ratio test + cross-check.
+    """Brute-force matching with ratio test + cross-check.
 
     Mirrors the reference BFMatcher semantics (SURVEY.md C7: best/second-best
     ratio test + cross-check; stereo variant adds the column-band constraint)
-    on fixed-size masked descriptor sets.
+    on fixed-size masked descriptor sets. `metric="hamming"` expects packed
+    uint32 binary descriptors (NORM_HAMMING); `metric="l2"` expects float
+    descriptors (NORM_L2, the SIFT path) and distances/`max_distance` are
+    Euclidean.
     """
-    dmat = hamming_matrix_mxu(desc_a, desc_b) if use_mxu else hamming_matrix_xor(desc_a, desc_b)
+    if metric == "l2":
+        dmat = l2_matrix_mxu(desc_a, desc_b)
+    else:
+        dmat = hamming_matrix_mxu(desc_a, desc_b) if use_mxu else hamming_matrix_xor(desc_a, desc_b)
     dmat = dmat + jnp.where(valid_a[:, None], 0.0, BIG) + jnp.where(valid_b[None, :], 0.0, BIG)
     if penalty is not None:
         dmat = dmat + penalty

@@ -28,10 +28,14 @@ class PanoGeometry(NamedTuple):
     """Static panorama geometry + the precomputed sampling LUT for one view.
 
     Besides the float (u, v) coords, the bilinear interpolation is fully
-    precomputed at calibration time (SURVEY.md C5 "LUT build ... once"):
-    flat corner indices + corner weights, so the per-frame warp is four flat
-    `jnp.take` gathers and a weighted sum -- measured ~3x faster on TPU than
-    `map_coordinates`, whose general gather lowers poorly.
+    precomputed at calibration time (SURVEY.md C5 "LUT build ... once").
+    TPU gathers cost ~10 ns per INDEX regardless of fetch width (measured on
+    v5e), so the LUT addresses 2-pixel horizontal PAIRS: the per-frame warp
+    restructures the raw image into (x, x+1) pair rows (two phase tables,
+    cheap strided slices) and gathers 2 indices per pano pixel (the y0 and
+    y1 row taps) instead of 4 corner indices -- exactly the same bilinear
+    result at half the gather cost, ~2x over the 4-corner flat-take warp,
+    which itself measured ~3x over `map_coordinates`.
     """
 
     height: int
@@ -40,14 +44,9 @@ class PanoGeometry(NamedTuple):
     max_elevation: float
     lut_uv: jnp.ndarray   # (H, W, 2) raw-image (u, v) sample coords
     valid: jnp.ndarray    # (H, W) bool: LUT lands inside the view's annulus
-    idx00: jnp.ndarray    # (H, W) int32 flat raw-image index of the NW corner
-    idx01: jnp.ndarray    # (H, W) NE
-    idx10: jnp.ndarray    # (H, W) SW
-    idx11: jnp.ndarray    # (H, W) SE
-    w00: jnp.ndarray      # (H, W) f32 bilinear corner weights
-    w01: jnp.ndarray
-    w10: jnp.ndarray
-    w11: jnp.ndarray
+    idx_r0: jnp.ndarray   # (H, W) int32 pair-table row of the (y0; x0, x0+1) tap
+    fu: jnp.ndarray       # (H, W) f32 horizontal lerp fraction
+    fv: jnp.ndarray       # (H, W) f32 vertical lerp fraction
 
 
 def pano_ray(height: int, width: int, min_el: float, max_el: float,
@@ -93,7 +92,14 @@ def build_pano_geometry(view: ViewParams, height: int, width: int,
     fv = v - v0
     u0i = u0.astype(jnp.int32)
     v0i = v0.astype(jnp.int32)
-    flat = lambda r, c: (r * image_width + c).astype(jnp.int32)
+    # Pair-table addressing (see PanoGeometry docstring): even-phase pairs
+    # (2m, 2m+1) come first, odd-phase pairs (2m+1, 2m+2) after; row stride
+    # is image_width // 2 in both tables, so the y1 tap is idx_r0 + stride.
+    assert image_width % 2 == 0, "pair-table warp assumes an even image width"
+    half = image_width // 2
+    even = (u0i % 2) == 0
+    m = jnp.where(even, u0i, u0i - 1) // 2
+    base = jnp.where(even, 0, image_height * half)
     return PanoGeometry(
         height=height,
         width=width,
@@ -101,14 +107,9 @@ def build_pano_geometry(view: ViewParams, height: int, width: int,
         max_elevation=max_el,
         lut_uv=uv,
         valid=ok,
-        idx00=flat(v0i, u0i),
-        idx01=flat(v0i, u0i + 1),
-        idx10=flat(v0i + 1, u0i),
-        idx11=flat(v0i + 1, u0i + 1),
-        w00=(1.0 - fv) * (1.0 - fu),
-        w01=(1.0 - fv) * fu,
-        w10=fv * (1.0 - fu),
-        w11=fv * fu,
+        idx_r0=(base + v0i * half + m).astype(jnp.int32),
+        fu=fu,
+        fv=fv,
     )
 
 
@@ -116,13 +117,21 @@ def warp_panorama(image: jnp.ndarray, geom: PanoGeometry) -> jnp.ndarray:
     """Bilinear-sample the raw omni image into the panorama. (H, W) float32.
 
     Equivalent of the reference's `cv2.remap` call. All interpolation
-    arithmetic is baked into the static LUT, so the per-frame work is four
-    flat 1D gathers + a weighted sum (TPU's general 2D gather path, as used
-    by `map_coordinates`, measured ~3x slower).
+    arithmetic is baked into the static LUT; the per-frame work is TWO pair
+    gathers + lerps (see the PanoGeometry docstring for why pairs: TPU
+    gather cost is per index, not per byte).
     """
-    flat = image.reshape(-1)
-    pano = (geom.w00 * jnp.take(flat, geom.idx00)
-            + geom.w01 * jnp.take(flat, geom.idx01)
-            + geom.w10 * jnp.take(flat, geom.idx10)
-            + geom.w11 * jnp.take(flat, geom.idx11))
+    h, w = image.shape
+    half = w // 2
+    # Two phase tables of horizontal pairs (strided slices are cheap; the
+    # stack keeps pairs contiguous in the minor dim for single-index fetch).
+    even = jnp.stack([image[:, 0::2], image[:, 1::2]], axis=-1)  # (h, w/2, 2)
+    shift = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+    odd = jnp.stack([shift[:, 0::2], shift[:, 1::2]], axis=-1)
+    pairs = jnp.concatenate([even.reshape(-1, 2), odd.reshape(-1, 2)])
+    r0 = jnp.take(pairs, geom.idx_r0, axis=0)         # (H, W, 2) y0 tap
+    r1 = jnp.take(pairs, geom.idx_r0 + half, axis=0)  # y1 = y0 + 1 tap
+    v0 = r0[..., 0] * (1.0 - geom.fu) + r0[..., 1] * geom.fu
+    v1 = r1[..., 0] * (1.0 - geom.fu) + r1[..., 1] * geom.fu
+    pano = v0 * (1.0 - geom.fv) + v1 * geom.fv
     return jnp.where(geom.valid, pano, 0.0)

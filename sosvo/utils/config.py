@@ -33,6 +33,8 @@ class FrontendConfig:
     fast_threshold: float = 0.04     # FAST segment-test margin (intensity units)
     oriented: bool = False           # steered BRIEF (rBRIEF) via IC_Angle
     n_scales: int = 1                # pyramid levels (factor-2 octaves); K split across levels
+    descriptor: str = "brief"        # "brief" (256-bit Hamming) | "sift" (128-d float, L2)
+    match_max_distance_l2: float = 0.7  # L2 acceptance threshold for unit-norm SIFT descriptors
 
 
 @dataclass(frozen=True)

@@ -81,16 +81,86 @@ def phase_breakdown(k: int = 512, n_landmarks: int = 4096, reps: int = 10) -> di
     }
 
 
+def image_phase_breakdown(image_size: int = 768, k: int = 384, reps: int = 5,
+                          inner: int = 64, cfg=None) -> dict:
+    """Amortized per-phase timing of the IMAGE-mode frontend (config c2 path).
+
+    Each phase runs `inner` times inside one jitted scan (see
+    `profiling.time_amortized`) so remote-TPU dispatch latency does not
+    drown the kernels.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sosvo.frontend.descriptor import describe, describe_sift
+    from sosvo.frontend.detect import detect, gaussian_smooth
+    from sosvo.frontend.image_frontend import build_frontend_luts, extract_observations
+    from sosvo.sensor.rig import default_rig
+    from sosvo.synth.render import RoomScene, render_frame
+    from sosvo.synth.scene import make_trajectory
+    from sosvo.utils.config import FrontendConfig
+    from sosvo.utils.profiling import time_amortized
+
+    rig = default_rig(image_size=image_size)
+    fe = cfg or FrontendConfig(max_features=k, pano_height=96, pano_width=768,
+                               descriptor_patch=16)
+    luts = build_frontend_luts(rig, fe)
+    room = RoomScene(radius=3.0, floor_z=-1.2, ceiling_z=1.6, texture_scale=2.0)
+    pose = make_trajectory(2, radius=0.4)[1]
+    img = jax.jit(lambda T: render_frame(rig, T, room))(pose)
+    geom = luts.top
+    pano = warp = None
+    from sosvo.frontend.panorama import warp_panorama
+    pano = jax.jit(lambda im: warp_panorama(im, geom))(img)
+    smoothed = jax.jit(gaussian_smooth)(pano)
+    kps = jax.jit(lambda p: detect(p, fe.max_features,
+                                   threshold=fe.detect_threshold * 1e-7,
+                                   nms_radius=fe.nms_grid,
+                                   border_rows=fe.descriptor_patch // 2 + 2,
+                                   detector=fe.detector,
+                                   fast_threshold=fe.fast_threshold))(pano)
+
+    t = {}
+    t["warp"] = time_amortized(lambda im: warp_panorama(im, geom), img,
+                               inner=inner, n=reps)
+    t["smooth"] = time_amortized(gaussian_smooth, pano, inner=inner, n=reps)
+    t["detect"] = time_amortized(
+        lambda p: detect(p, fe.max_features, threshold=fe.detect_threshold * 1e-7,
+                         nms_radius=fe.nms_grid,
+                         border_rows=fe.descriptor_patch // 2 + 2,
+                         detector=fe.detector, fast_threshold=fe.fast_threshold),
+        pano, inner=inner, n=reps)
+    t["describe_brief"] = time_amortized(
+        lambda s: describe(s, kps, smoothed=s), smoothed, inner=inner, n=reps)
+    t["describe_sift"] = time_amortized(
+        lambda s: describe_sift(s, kps, smoothed=s), smoothed, inner=inner, n=reps)
+    t["extract_full_2views"] = time_amortized(
+        lambda im: extract_observations(rig, luts, fe, im), img,
+        inner=inner, n=reps)
+    return {
+        "device": str(jax.devices()[0]),
+        "image_size": image_size, "k": fe.max_features,
+        "pano": [fe.pano_height, fe.pano_width],
+        "phases_ms": {n_: round(v * 1e3, 3) for n_, v in t.items()},
+        "note": "per-view phase cost except extract_full_2views (both views)",
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--images", action="store_true",
+                    help="profile the image-mode frontend phases (c2 path)")
     args = ap.parse_args(argv)
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/sosvo_tpu_cache")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    print(json.dumps(phase_breakdown(k=args.k), indent=2))
+    if args.images:
+        print(json.dumps(image_phase_breakdown(k=args.k), indent=2))
+    else:
+        print(json.dumps(phase_breakdown(k=args.k), indent=2))
     return 0
 
 

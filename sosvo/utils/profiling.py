@@ -73,3 +73,39 @@ def roofline_schur(W: int, L: int) -> dict:
         "t_mem_s": byts / V5E_HBM_GBS,
         "sol_s": max(flops / (V5E_BF16_FLOPS / 2), byts / V5E_HBM_GBS),
     }
+
+
+def time_amortized(fn: Callable, x, inner: int = 16, n: int = 5) -> float:
+    """Median per-call seconds of `fn(x)`, amortized inside ONE jitted scan.
+
+    On the remote-TPU tunnel every dispatch carries ~26 ms of RPC latency
+    (CLAUDE.md), so per-dispatch timing is meaningless; this runs `inner`
+    dependent applications of `fn` inside a single dispatch and divides.
+    `x` must be a pytree whose first float leaf exists; a vanishing
+    perturbation from each output is folded back into the carry so XLA
+    cannot hoist or dead-code the loop body.
+    """
+    import jax.numpy as jnp
+
+    def fold(c, out):
+        leaves = [l for l in jax.tree.leaves(out)
+                  if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+        eps = sum(jnp.sum(l) for l in leaves) * jnp.float32(1e-38)
+
+        def leaf(a):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+                return a + eps.astype(a.dtype)
+            return a
+        return jax.tree.map(leaf, c)
+
+    def body(c, _):
+        return fold(c, fn(c)), None
+
+    f = jax.jit(lambda x0: jax.lax.scan(body, x0, None, length=inner)[0])
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts) / inner

@@ -42,8 +42,9 @@ class BAStepOutput(NamedTuple):
 
 def init_ba_state(cfg: PipelineConfig, key: jax.Array, T0=None) -> BAState:
     return BAState(
-        track=init_track_state(cfg.frontend.max_features, key, T0=T0),
-        map=init_map_state(cfg.ba.window, cfg.ba.max_landmarks),
+        track=init_track_state(cfg.frontend.max_features, key, T0=T0,
+                         descriptor=cfg.frontend.descriptor),
+        map=init_map_state(cfg.ba.window, cfg.ba.max_landmarks, cfg.frontend.descriptor),
     )
 
 

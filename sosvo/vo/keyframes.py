@@ -28,7 +28,8 @@ from sosvo.frontend.match import match
 from sosvo.geom.lie import mat_inv, transform_points
 from sosvo.sensor.model import viewpoint
 from sosvo.sensor.rig import OmnistereoRig
-from sosvo.synth.scene import DESC_WORDS
+from sosvo.synth.scene import DESC_WORDS  # noqa: F401  (re-exported layout constant)
+from sosvo.vo.state import desc_zeros
 
 STALE_BIG = 1e6
 
@@ -49,7 +50,7 @@ class MapState(NamedTuple):
     obs_w: jnp.ndarray       # (W, L, 2) observation weights (0 = none)
 
 
-def init_map_state(window: int, max_landmarks: int) -> MapState:
+def init_map_state(window: int, max_landmarks: int, descriptor: str = "brief") -> MapState:
     W, L = window, max_landmarks
     return MapState(
         kf_X=jnp.tile(jnp.eye(4, dtype=jnp.float32), (W, 1, 1)),
@@ -58,7 +59,7 @@ def init_map_state(window: int, max_landmarks: int) -> MapState:
         head=jnp.asarray(-1, jnp.int32),
         n_kf=jnp.asarray(0, jnp.int32),
         lm_pos=jnp.zeros((L, 3), jnp.float32),
-        lm_desc=jnp.zeros((L, DESC_WORDS), jnp.uint32),
+        lm_desc=desc_zeros(L, descriptor),
         lm_valid=jnp.zeros((L,), bool),
         lm_last_seen=jnp.full((L,), -(10**6), jnp.int32),
         obs_rays=jnp.zeros((W, L, 2, 3), jnp.float32),

@@ -45,7 +45,8 @@ def live_vo(
     if luts is None:
         luts = build_frontend_luts(rig, cfg.frontend)
     step_fn = jax.jit(lambda s, img: image_step(rig, luts, cfg, s, img))
-    state = init_track_state(cfg.frontend.max_features, key)
+    state = init_track_state(cfg.frontend.max_features, key,
+                             descriptor=cfg.frontend.descriptor)
 
     pending: tuple[int, StepOutput] | None = None
     idx = -1

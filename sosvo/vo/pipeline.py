@@ -44,7 +44,20 @@ def _match(cfg: PipelineConfig, desc_a, desc_b, valid_a, valid_b,
 
     Identical semantics either way (tests/test_match_pallas.py); the band
     constraint is a dense penalty matrix in XLA and fused arithmetic in the
-    kernel."""
+    kernel. The SIFT float-descriptor option (SURVEY.md C6) routes to the L2
+    matcher -- the Pallas kernel is Hamming-specific, so it only applies to
+    binary descriptors."""
+    if cfg.frontend.descriptor == "sift":
+        penalty = None
+        if band > 0.0:
+            penalty = column_band_penalty(az_a, az_b, band, wrap=2.0 * jnp.pi)
+        return match(
+            desc_a, desc_b, valid_a, valid_b,
+            max_distance=cfg.frontend.match_max_distance_l2,
+            ratio=cfg.frontend.match_ratio,
+            penalty=penalty,
+            metric="l2",
+        )
     if cfg.frontend.use_pallas_match:
         return match_pallas(
             desc_a, desc_b, valid_a, valid_b,

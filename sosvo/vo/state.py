@@ -13,7 +13,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sosvo.frontend.descriptor import SIFT_DIM
 from sosvo.synth.scene import DESC_WORDS
+
+
+def desc_zeros(k: int, descriptor: str = "brief") -> jnp.ndarray:
+    """Empty descriptor buffer matching the configured frontend descriptor:
+    packed-uint32 BRIEF words or float32 SIFT vectors (SURVEY.md C6)."""
+    if descriptor == "sift":
+        return jnp.zeros((k, SIFT_DIM), jnp.float32)
+    return jnp.zeros((k, DESC_WORDS), jnp.uint32)
 
 
 class TrackState(NamedTuple):
@@ -40,12 +49,13 @@ class StepOutput(NamedTuple):
     ess_angle_err: jnp.ndarray  # () f32 rotation angle between rigid & essential estimates
 
 
-def init_track_state(max_features: int, key: jax.Array, T0: jnp.ndarray | None = None) -> TrackState:
+def init_track_state(max_features: int, key: jax.Array, T0: jnp.ndarray | None = None,
+                     descriptor: str = "brief") -> TrackState:
     k = max_features
     return TrackState(
         T_world=jnp.eye(4, dtype=jnp.float32) if T0 is None else T0,
         prev_points=jnp.zeros((k, 3), jnp.float32),
-        prev_desc=jnp.zeros((k, DESC_WORDS), jnp.uint32),
+        prev_desc=desc_zeros(k, descriptor),
         prev_rays=jnp.zeros((k, 3), jnp.float32),
         prev_azimuth=jnp.zeros((k,), jnp.float32),
         prev_valid=jnp.zeros((k,), bool),

@@ -38,6 +38,21 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def room_seq():
+    """Shared rendered room sequence (rig, poses, images) for image-mode tests."""
+    import jax.numpy as jnp  # noqa: F401
+    from sosvo.sensor.rig import default_rig
+    from sosvo.synth.render import RoomScene, render_sequence
+    from sosvo.synth.scene import make_trajectory
+
+    rig = default_rig(image_size=768)
+    poses = make_trajectory(6, radius=0.4)
+    room = RoomScene(radius=3.0, floor_z=-1.2, ceiling_z=1.6, texture_scale=2.0)
+    imgs = jax.jit(lambda P: render_sequence(rig, P, room))(poses)
+    return rig, poses, imgs
+
+
+@pytest.fixture(scope="session")
 def devices8():
     devs = jax.devices()
     assert len(devs) >= 8, f"expected 8 virtual CPU devices, got {len(devs)}"

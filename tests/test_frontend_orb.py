@@ -34,7 +34,12 @@ def test_detect_fast_ranks_with_harris():
     img, r, c = _checker_corner()
     kps = detect(img, 8, detector="fast", fast_threshold=0.1, border_rows=4)
     assert bool(kps.valid[0])
-    assert abs(float(kps.rows[0]) - r) < 3 and abs(float(kps.cols[0]) - c) < 3
+    # The synthetic quadrant also creates a mirror corner at the azimuth wrap
+    # (column 0/w) with an EXACTLY tied Harris response; top-1 order between
+    # the two ties is numeric noise, so assert the true corner is in the top 2.
+    hits = [i for i in range(2)
+            if abs(float(kps.rows[i]) - r) < 3 and abs(float(kps.cols[i]) - c) < 3]
+    assert hits, (np.asarray(kps.rows)[:2], np.asarray(kps.cols)[:2])
     # The same call jits (static detector arg).
     jitted = jax.jit(
         lambda im: detect(im, 8, detector="fast", fast_threshold=0.1, border_rows=4)
