@@ -35,6 +35,7 @@ from sosvo.vo.state import init_track_state
 
 N_FRAMES = 10
 K = 512
+REPS = 16  # replays per dispatch: amortizes the ~26 ms remote-dispatch RPC
 BASELINE_FPS = 30.0  # provisional anchor: reference's "near-real-time" CPU rate
 
 
@@ -49,12 +50,28 @@ def main() -> None:
     replay = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))
     final, outs = jax.block_until_ready(replay(state, obs))  # warm-up/compile
 
+    # Timing runs REPS whole replays inside ONE dispatch (lax.fori_loop with
+    # a vanishing data dependency between reps) -- on this environment's
+    # remote-TPU tunnel every dispatch carries ~26 ms of RPC latency, which
+    # at 10 frames/dispatch would otherwise dominate the measurement and
+    # understate the chip by ~2.5x (amortize-inside-device protocol,
+    # BASELINE.md / CLAUDE.md).
+    def replay_block(s0, o):
+        def body(_, s):
+            fin, outs_i = run_replay(rig, cfg, s, o)
+            eps = (jnp.sum(outs_i.T_world) * jnp.float32(1e-38)).astype(jnp.float32)
+            return s._replace(T_world=s.T_world + eps)
+        return jax.lax.fori_loop(0, REPS, body, s0)
+
+    block = jax.jit(replay_block)
+    jax.block_until_ready(block(state, obs))  # warm-up/compile
+
     times = []
-    for _ in range(7):
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(replay(state, obs))
+        jax.block_until_ready(block(state, obs))
         times.append(time.perf_counter() - t0)
-    med = statistics.median(times)
+    med = statistics.median(times) / REPS
     fps = N_FRAMES / med
 
     # Sanity gate: the benchmark only counts if the pipeline actually tracks.
