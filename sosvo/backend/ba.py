@@ -165,7 +165,8 @@ def huber_weights(win: BAWindow, delta: float) -> jnp.ndarray:
 
 
 def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
-            anchor: jnp.ndarray | int = 0, use_pallas: bool = False):
+            anchor: jnp.ndarray | int = 0, use_pallas: bool = False,
+            pallas_interpret: bool = False):
     """One damped LM step: build blocks, Schur-reduce, solve, back-substitute.
 
     Returns the CANDIDATE updated window (caller decides accept/reject).
@@ -189,19 +190,29 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
     # Gauge: clamp the anchor keyframe with a huge prior so the window is
     # anchored. Unobserved pose slots (all-zero rows) also get the prior so
     # the reduced system stays nonsingular.
-    row_support = jnp.sum(jnp.abs(b_c), axis=-1) + jnp.sum(jnp.abs(H_cl), axis=(1, 2, 3))
+    # Support detection must agree on every shard: H_cl holds only the local
+    # landmark shard, so its contribution is psummed (b_c is already global).
+    coupling = jnp.sum(jnp.abs(H_cl), axis=(1, 2, 3))
+    if axis_name is not None:
+        coupling = jax.lax.psum(coupling, axis_name)
+    row_support = jnp.sum(jnp.abs(b_c), axis=-1) + coupling
     unobserved = (row_support == 0.0).astype(win.X.dtype)
     clamp = jnp.maximum(one_hot, unobserved)
     H_cc = H_cc + (GAUGE_PRIOR * clamp)[:, None, None] * eye6[None]
 
-    if use_pallas and axis_name is None:
-        # Fused Pallas Schur path (single-device; the sharded path reduces
-        # partials over the mesh inside the XLA primitive instead).
+    # Pallas runs for real only on TPU; elsewhere it would be interpret-mode
+    # (orders of magnitude slow), so fall back to XLA unless a test explicitly
+    # asks for the interpreted kernel (pallas_interpret=True).
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and (on_tpu or pallas_interpret):
+        # Fused Pallas Schur path. Under landmark sharding the kernel computes
+        # this shard's partial (S_off, b_sub) and the wrapper psums them over
+        # `axis_name` before assembly, mirroring the XLA path.
         from sosvo.kernels.schur_pallas import reduce_camera_system_pallas
 
         S, b_red, H_ll_inv = reduce_camera_system_pallas(
             H_cc, H_cl, H_ll, b_c, b_l, lam,
-            interpret=jax.default_backend() != "tpu", damp_H_cc=False)
+            interpret=not on_tpu, damp_H_cc=False, axis_name=axis_name)
     else:
         H_ll_inv = inv3x3(H_ll + lam * eye3[None])  # (L, 3, 3) closed form
         S, b_red = reduce_camera_system(H_cc, H_cl, H_ll_inv, b_c, b_l, axis_name)
@@ -221,7 +232,8 @@ def lm_step(win: BAWindow, lam: jnp.ndarray, axis_name: str | None = None,
 def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
              axis_name: str | None = None, anchor: jnp.ndarray | int = 0,
              huber_delta: float | None = None,
-             use_pallas: bool = False) -> BAResult:
+             use_pallas: bool = False,
+             pallas_interpret: bool = False) -> BAResult:
     """Levenberg-Marquardt with multiplicative damping adaptation.
 
     Accept a step iff it lowers the cost (then lam /= 3), else keep the old
@@ -256,7 +268,8 @@ def ba_solve(win: BAWindow, iters: int = 5, lam0: float = 1e-3,
             cost = ba_cost(w_eff, axis_name)
         else:
             w_eff = w
-        cand_w = lm_step(w_eff, lam, axis_name, anchor, use_pallas)
+        cand_w = lm_step(w_eff, lam, axis_name, anchor, use_pallas,
+                         pallas_interpret)
         cand = w._replace(X=cand_w.X, landmarks=cand_w.landmarks)
         cand_cost = ba_cost(cand._replace(weights=w_eff.weights), axis_name)
         accept = cand_cost < cost

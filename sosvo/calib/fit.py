@@ -23,17 +23,20 @@ import jax.numpy as jnp
 
 from sosvo.sensor.model import ViewParams, project
 
-# Parameter vector layout: [xi, fx, fy, cx, cy, z_offset]
-N_PARAMS = 6
+# Parameter vector layout:
+# [xi, fx, fy, cx, cy, z_offset, k1, k2, p1, p2, mis_rx, mis_ry]
+N_PARAMS = 12
 
 
 def params_to_vector(v: ViewParams) -> jnp.ndarray:
-    return jnp.stack([v.xi, v.fx, v.fy, v.cx, v.cy, v.z_offset])
+    return jnp.stack([v.xi, v.fx, v.fy, v.cx, v.cy, v.z_offset,
+                      v.k1, v.k2, v.p1, v.p2, v.mis_rx, v.mis_ry])
 
 
 def vector_to_params(p: jnp.ndarray, template: ViewParams) -> ViewParams:
     return template._replace(xi=p[0], fx=p[1], fy=p[2], cx=p[3], cy=p[4],
-                             z_offset=p[5])
+                             z_offset=p[5], k1=p[6], k2=p[7], p1=p[8],
+                             p2=p[9], mis_rx=p[10], mis_ry=p[11])
 
 
 class CalibResult(NamedTuple):
@@ -59,15 +62,25 @@ def fit_view(
     iters: int = 20,
     lam0: float = 1e-2,
     fit_z_offset: bool = False,
+    fit_distortion: bool = False,
+    fit_misalignment: bool = False,
 ) -> CalibResult:
-    """LM-fit one view's unified-model parameters to control points."""
+    """LM-fit one view's unified-model parameters to control points.
+
+    `fit_distortion` frees (k1, k2, p1, p2); `fit_misalignment` frees
+    (mis_rx, mis_ry) -- the full-GUM terms (SURVEY.md C3). Held at their
+    initial values (usually zero) otherwise.
+    """
     n = pts_view.shape[0]
     w = jnp.ones((n,), jnp.float32) if weights is None else weights
     p0 = params_to_vector(init)
     wsum = jnp.maximum(jnp.sum(w > 0), 1)
 
-    # Mask: which parameters move (z_offset only when requested).
-    move = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0, 1.0 if fit_z_offset else 0.0])
+    # Mask: which parameters move.
+    dist = 1.0 if fit_distortion else 0.0
+    mis = 1.0 if fit_misalignment else 0.0
+    move = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0, 1.0 if fit_z_offset else 0.0,
+                      dist, dist, dist, dist, mis, mis])
 
     def rms(p):
         r = _residuals(p, init, pts_view, uv_obs, w).reshape(-1, 2)

@@ -42,7 +42,8 @@ def _window_specs() -> BAWindow:
 
 
 def ba_solve_sharded(mesh: Mesh, win: BAWindow, iters: int = 5,
-                     lam0: float = 1e-3) -> BAResult:
+                     lam0: float = 1e-3, use_pallas: bool = True,
+                     pallas_interpret: bool = False) -> BAResult:
     """Solve a BA window with landmarks sharded over `mesh`'s "model" axis.
 
     The landmark count L must be divisible by the model-axis size. Inputs may
@@ -58,7 +59,8 @@ def ba_solve_sharded(mesh: Mesh, win: BAWindow, iters: int = 5,
     # cannot prove. The replication invariant is instead asserted dynamically
     # by tests/test_ba_dist.py against the single-device solver.
     fn = shard_map(
-        functools.partial(ba_solve, iters=iters, lam0=lam0, axis_name=MODEL_AXIS),
+        functools.partial(ba_solve, iters=iters, lam0=lam0, axis_name=MODEL_AXIS,
+                          use_pallas=use_pallas, pallas_interpret=pallas_interpret),
         mesh=mesh,
         in_specs=(specs,),
         out_specs=out_specs,

@@ -1,13 +1,23 @@
 """Fused Pallas TPU kernel for Hamming descriptor matching (hot loop C7).
 
+STATUS: RETIRED from the production path by measurement (round 2). With
+properly amortized timing (2000 in-device reps; the round-1 "546 vs 591 us"
+numbers at 50 reps were dominated by the ~26 ms remote-dispatch RPC floor),
+the XLA matcher runs 15.8 us at K=512 and 31.6 us at K=2048 on v5e, vs 22.2 /
+111.3 us for this kernel (0.71x / 0.28x) -- XLA's fused matmul+reduce over a
+K x K f32 matrix that fits comfortably in VMEM/caches at these sizes beats
+streaming tiles with in-kernel scalar-indexed RMW. The kernel stays in-tree
+as a bit-identical alternative (tests/test_match_pallas.py) and as the
+starting point if feature counts ever grow past K ~ 8k where the O(K^2) HBM
+matrix would start to matter; `use_pallas_match=False` is the measured
+default (BASELINE.md kernel table).
+
 One of the two hot loops BASELINE.json:5 names ("Pallas kernels for the
 match/score ... hot loops"). The XLA reference path
-(`sosvo/frontend/match.py`) materializes the full (KA, KB) distance matrix in
-HBM; at K = 2048 that is 16 MB written + read back per matcher call, twice
-per frame. This kernel streams column tiles through VMEM flash-attention
-style and reduces on the fly, so HBM traffic drops from O(KA*KB) to
-O((KA+KB) * 256 bits) -- the descriptors themselves -- which is the
-speed-of-light floor for this op.
+(`sosvo/frontend/match.py`) materializes the full (KA, KB) distance matrix;
+this kernel streams column tiles through VMEM flash-attention style and
+reduces on the fly, so HBM traffic drops from O(KA*KB) to
+O((KA+KB) * 256 bits) -- the descriptors themselves.
 
 Per column tile (128 B-features):
   1. distance tile on the MXU: d = (NBITS - a_pm1 @ b_pm1^T) / 2, where
@@ -35,7 +45,9 @@ from sosvo.frontend.match import BIG, NBITS, MatchResult, unpack_bits_pm1
 
 TILE = 512     # column (B-feature) tile, streamed (small tiles serialize:
                # at 128 the kernel ran 64 micro-steps and lost to XLA)
-TILE_A = 1024  # row (A-feature) tile, one grid step each
+TILE_A = 1024  # MAX row (A-feature) tile, one grid step each; the actual row
+               # tile adapts to the workload (min(TILE_A, padded KA)) so a
+               # K=512 matcher is not padded 2x in rows before it starts
 
 
 def _match_kernel(band_ref, a_ref, b_ref, aza_ref, azb_ref, va_ref, vb_ref,
@@ -164,7 +176,10 @@ def match_stats_pallas(
     +BIG. `band` <= 0 disables the azimuth-band constraint.
     """
     ka, kb = desc_a.shape[0], desc_b.shape[0]
-    ka_p = pl.cdiv(ka, TILE_A) * TILE_A
+    # Row tile: the workload size itself when it fits in one grid step (padded
+    # to the bf16 sublane multiple), else TILE_A-row steps.
+    tile_a = min(TILE_A, pl.cdiv(ka, 16) * 16)
+    ka_p = pl.cdiv(ka, tile_a) * tile_a
     kb_p = pl.cdiv(kb, TILE) * TILE
 
     a = _pad_to(unpack_bits_pm1(desc_a), ka_p, jnp.bfloat16(0))
@@ -183,14 +198,13 @@ def match_stats_pallas(
         jax.ShapeDtypeStruct((ka_p, 1), jnp.int32),     # idx_b
         jax.ShapeDtypeStruct((kb_p, 1), jnp.int32),     # col_argmin
     )
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    row = lambda width: pl.BlockSpec((TILE_A, width), lambda i: (i, 0),
+    row = lambda width: pl.BlockSpec((tile_a, width), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     whole = lambda n, w: pl.BlockSpec((n, w), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM)
     dbest, dsecond, ibest, colmin = pl.pallas_call(
         _match_kernel,
-        grid=(ka_p // TILE_A,),
+        grid=(ka_p // tile_a,),
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # band scalar

@@ -151,7 +151,8 @@ def schur_reduce_pallas(
 
 def reduce_camera_system_pallas(H_cc, H_cl, H_ll, b_c, b_l, lam,
                                 interpret: bool = False,
-                                damp_H_cc: bool = True):
+                                damp_H_cc: bool = True,
+                                axis_name: str | None = None):
     """Drop-in fused variant of `sosvo.backend.schur.reduce_camera_system`.
 
     Takes the UNDAMPED H_ll plus lam (the kernel fuses the damping +
@@ -160,6 +161,14 @@ def reduce_camera_system_pallas(H_cc, H_cl, H_ll, b_c, b_l, lam,
 
     `damp_H_cc=False` when the caller already damped/gauged H_cc (the BA
     LM loop does); lam then only damps the landmark blocks in-kernel.
+
+    With `axis_name` (inside shard_map, landmark axis sharded -- SURVEY.md
+    P2-TP), the kernel computes THIS shard's partial (S_off, b_sub) and the
+    partials are psummed before assembly with the already-global (H_cc, b_c)
+    -- same contraction-then-reduce structure as the XLA path
+    (`sosvo/backend/schur.py:reduce_camera_system`), so distributed BA can
+    run the fused kernel per shard (BASELINE.json:5 "distributed BA via
+    Schur-complement reduction ... over jax.lax collectives").
     """
     W = H_cc.shape[0]
     L = H_ll.shape[0]
@@ -178,6 +187,9 @@ def reduce_camera_system_pallas(H_cc, H_cl, H_ll, b_c, b_l, lam,
 
     s_off, b_sub, inv9 = schur_reduce_pallas(tuple(planes), H_ll9, b_l, lam,
                                              interpret=interpret)
+    if axis_name is not None:
+        s_off = jax.lax.psum(s_off, axis_name)
+        b_sub = jax.lax.psum(b_sub, axis_name)
     S_off = s_off.reshape(W, 6, W, 6).transpose(0, 2, 1, 3)
     eye_w = jnp.eye(W, dtype=H_cc.dtype)
     eye6 = jnp.eye(6, dtype=H_cc.dtype)

@@ -36,6 +36,10 @@ def _view_to_dict(v: ViewParams) -> dict:
         "min_elevation_deg": float(np.rad2deg(v.min_elevation)),
         "max_elevation_deg": float(np.rad2deg(v.max_elevation)),
         "z_offset": float(v.z_offset),
+        # Full-GUM terms (SURVEY.md C3 / COMPAT.md #1); zero = clean model.
+        "k1": float(v.k1), "k2": float(v.k2),
+        "p1": float(v.p1), "p2": float(v.p2),
+        "mis_rx": float(v.mis_rx), "mis_ry": float(v.mis_ry),
     }
 
 
@@ -45,6 +49,9 @@ def _view_from_dict(d: dict) -> ViewParams:
         min_elevation=np.deg2rad(d["min_elevation_deg"]),
         max_elevation=np.deg2rad(d["max_elevation_deg"]),
         z_offset=d.get("z_offset", 0.0),
+        k1=d.get("k1", 0.0), k2=d.get("k2", 0.0),
+        p1=d.get("p1", 0.0), p2=d.get("p2", 0.0),
+        mis_rx=d.get("mis_rx", 0.0), mis_ry=d.get("mis_ry", 0.0),
     )
 
 

@@ -12,14 +12,25 @@ sphere rays ... pure JAX functions so the whole frontend+backend JITs
 end-to-end" -- this module is that contract.
 
 Projection (view frame, viewpoint at origin, z up the mirror axis):
-    s   = X / |X|                       (lift to unit sphere)
+    p_m = R_mis^T X                     (optional mirror-axis misalignment)
+    s   = p_m / |p_m|                   (lift to unit sphere)
     m   = (s_x, s_y) / (s_z + xi)       (perspective from sphere-center + xi)
-    u   = fx * m_x + cx ;  v = fy * m_y + cy
+    m_d = distort(m)                    (radial k1,k2 + tangential p1,p2, on
+                                         the normalized plane -- Mei's model)
+    u   = fx * m_d_x + cx ;  v = fy * m_d_y + cy
 
-Unprojection (closed form, exact inverse):
-    m   = ((u-cx)/fx, (v-cy)/fy),  r2 = |m|^2
+Unprojection (exact inverse for zero distortion; fixed-point undistort
+otherwise -- UNDISTORT_ITERS unrolled iterations, fully differentiable):
+    m_d = ((u-cx)/fx, (v-cy)/fy)
+    m   = undistort(m_d)                (m <- (m_d - tangential(m))/radial(m))
     eta = (xi + sqrt(1 + (1 - xi^2) r2)) / (r2 + 1)
-    ray = (eta * m_x, eta * m_y, eta - xi)          (unit norm by construction)
+    ray = R_mis (eta * m_x, eta * m_y, eta - xi)    (unit norm by construction)
+
+The distortion/misalignment terms complete the published GUM (the unified
+model plus lens distortion plus camera-mirror axis misalignment) that the
+reference's `camera_models.py` carries (SURVEY.md C3; COMPAT.md #1): all
+terms default to zero, in which case both directions reduce to the clean
+closed forms above bit-for-bit.
 
 All functions are differentiable (BA Jacobians flow through `project`),
 shape-polymorphic over leading batch dims, and f32-safe.
@@ -30,6 +41,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+UNDISTORT_ITERS = 8  # fixed-point iterations; exact when distortion is zero
 
 
 class ViewParams(NamedTuple):
@@ -44,6 +57,12 @@ class ViewParams(NamedTuple):
         view; defines the annular valid region in the raw image.
       z_offset: viewpoint height on the common vertical axis, in the rig
         frame (top view usually 0, bottom view -baseline).
+      k1, k2: radial distortion coefficients on the normalized plane.
+      p1, p2: tangential distortion coefficients.
+      mis_rx, mis_ry: mirror-axis misalignment -- a small rotation (radians,
+        about the view frame's x and y axes) between the rig's nominal
+        vertical axis and this mirror's actual axis. The z component is
+        unobservable (pure azimuth shift) and therefore not modeled.
     """
 
     xi: jnp.ndarray
@@ -54,11 +73,20 @@ class ViewParams(NamedTuple):
     min_elevation: jnp.ndarray
     max_elevation: jnp.ndarray
     z_offset: jnp.ndarray
+    k1: jnp.ndarray = jnp.float32(0.0)
+    k2: jnp.ndarray = jnp.float32(0.0)
+    p1: jnp.ndarray = jnp.float32(0.0)
+    p2: jnp.ndarray = jnp.float32(0.0)
+    mis_rx: jnp.ndarray = jnp.float32(0.0)
+    mis_ry: jnp.ndarray = jnp.float32(0.0)
 
     @staticmethod
-    def create(xi, fx, fy, cx, cy, min_elevation, max_elevation, z_offset=0.0):
+    def create(xi, fx, fy, cx, cy, min_elevation, max_elevation, z_offset=0.0,
+               k1=0.0, k2=0.0, p1=0.0, p2=0.0, mis_rx=0.0, mis_ry=0.0):
         f = lambda x: jnp.asarray(x, dtype=jnp.float32)
-        return ViewParams(f(xi), f(fx), f(fy), f(cx), f(cy), f(min_elevation), f(max_elevation), f(z_offset))
+        return ViewParams(f(xi), f(fx), f(fy), f(cx), f(cy), f(min_elevation),
+                          f(max_elevation), f(z_offset), f(k1), f(k2), f(p1),
+                          f(p2), f(mis_rx), f(mis_ry))
 
 
 def viewpoint(view: ViewParams) -> jnp.ndarray:
@@ -66,6 +94,56 @@ def viewpoint(view: ViewParams) -> jnp.ndarray:
     z = jnp.asarray(view.z_offset)
     zero = jnp.zeros_like(z)
     return jnp.stack([zero, zero, z], axis=-1)
+
+
+def _mis_rotation(view: ViewParams) -> jnp.ndarray:
+    """(3, 3) rotation taking mirror-frame vectors to the view frame.
+
+    Rodrigues on the axis (mis_rx, mis_ry, 0); exact for zero angle (the
+    sinc-style Taylor guards keep it f32-safe near zero).
+    """
+    rx, ry = view.mis_rx, view.mis_ry
+    th2 = rx * rx + ry * ry
+    th = jnp.sqrt(th2)
+    small = th < 1e-5
+    # sin(th)/th and (1-cos(th))/th^2 with Taylor fallbacks.
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / jnp.where(small, 1.0, th))
+    b = jnp.where(small, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th2))
+    zero = jnp.zeros_like(rx)
+    K = jnp.stack([
+        jnp.stack([zero, zero, ry], axis=-1),
+        jnp.stack([zero, zero, -rx], axis=-1),
+        jnp.stack([-ry, rx, zero], axis=-1),
+    ], axis=-2)
+    eye = jnp.eye(3, dtype=K.dtype)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def _distort(view: ViewParams, mx: jnp.ndarray, my: jnp.ndarray):
+    """Radial (k1, k2) + tangential (p1, p2) distortion on the normalized plane."""
+    r2 = mx * mx + my * my
+    rad = 1.0 + r2 * (view.k1 + r2 * view.k2)
+    dx = 2.0 * view.p1 * mx * my + view.p2 * (r2 + 2.0 * mx * mx)
+    dy = view.p1 * (r2 + 2.0 * my * my) + 2.0 * view.p2 * mx * my
+    return rad * mx + dx, rad * my + dy
+
+
+def _undistort(view: ViewParams, mdx: jnp.ndarray, mdy: jnp.ndarray):
+    """Fixed-point inverse of `_distort` (UNDISTORT_ITERS unrolled steps).
+
+    Identity when all coefficients are zero (the default), so the closed-form
+    exact-inverse property of the clean unified model is preserved exactly.
+    """
+    mx, my = mdx, mdy
+    for _ in range(UNDISTORT_ITERS):
+        r2 = mx * mx + my * my
+        rad = 1.0 + r2 * (view.k1 + r2 * view.k2)
+        dx = 2.0 * view.p1 * mx * my + view.p2 * (r2 + 2.0 * mx * mx)
+        dy = view.p1 * (r2 + 2.0 * my * my) + 2.0 * view.p2 * mx * my
+        mx = (mdx - dx) / rad
+        my = (mdy - dy) / rad
+    return mx, my
 
 
 def project(view: ViewParams, pts_view: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -80,13 +158,16 @@ def project(view: ViewParams, pts_view: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
       valid: (...,) bool -- point inside the view's elevation band and in
         front of the model's projection singularity (s_z + xi > eps).
     """
-    norm = jnp.linalg.norm(pts_view, axis=-1, keepdims=True)
-    s = pts_view / jnp.maximum(norm, 1e-9)
+    R_mis = _mis_rotation(view)
+    pts_m = pts_view @ R_mis            # R_mis^T @ p, batched over rows
+    norm = jnp.linalg.norm(pts_m, axis=-1, keepdims=True)
+    s = pts_m / jnp.maximum(norm, 1e-9)
     denom = s[..., 2] + view.xi
     safe = denom > 1e-6
     denom_safe = jnp.where(safe, denom, 1.0)
     mx = s[..., 0] / denom_safe
     my = s[..., 1] / denom_safe
+    mx, my = _distort(view, mx, my)
     u = view.fx * mx + view.cx
     v = view.fy * my + view.cy
     elevation = jnp.arcsin(jnp.clip(s[..., 2], -1.0, 1.0))
@@ -112,13 +193,17 @@ def lift(view: ViewParams, uv: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """
     mx = (uv[..., 0] - view.cx) / view.fx
     my = (uv[..., 1] - view.cy) / view.fy
+    mx, my = _undistort(view, mx, my)
     r2 = mx * mx + my * my
     disc = 1.0 + (1.0 - view.xi * view.xi) * r2
     eta = (view.xi + jnp.sqrt(jnp.maximum(disc, 0.0))) / (r2 + 1.0)
     ray = jnp.stack([eta * mx, eta * my, eta - view.xi], axis=-1)
     ray = ray / jnp.maximum(jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-9)
+    # Elevation gating happens in the MIRROR frame (where the annulus is
+    # defined); the returned ray is rotated back into the view frame.
     elevation = jnp.arcsin(jnp.clip(ray[..., 2], -1.0, 1.0))
     valid = (elevation >= view.min_elevation) & (elevation <= view.max_elevation) & (disc > 0.0)
+    ray = ray @ _mis_rotation(view).T   # R_mis @ ray, batched over rows
     return ray, valid
 
 

@@ -28,7 +28,11 @@ class FrontendConfig:
     pano_height: int = 128           # panorama rows (elevation samples)
     pano_width: int = 1024           # panorama cols (azimuth samples)
     descriptor_patch: int = 24       # BRIEF-style sampling patch size
-    use_pallas_match: bool = False   # fused Pallas kernel vs XLA matcher
+    use_pallas_match: bool = False   # RETIRED by measurement (r2): the XLA
+                                     # matcher is 15.8/31.6 us at K=512/2048 on
+                                     # v5e vs 22/111 us Pallas -- see BASELINE.md
+                                     # kernel table. Kernel kept (bit-identical)
+                                     # for reference/debug only.
     detector: str = "harris"         # "harris" | "fast" (FAST-9 + Harris rank, ORB-style)
     fast_threshold: float = 0.04     # FAST segment-test margin (intensity units)
     oriented: bool = False           # steered BRIEF (rBRIEF) via IC_Angle
@@ -58,7 +62,8 @@ class BAConfig:
     iters: int = 5                   # LM outer iterations
     huber_delta: float = 0.005       # robust kernel width on bearing residuals
     damping_init: float = 1e-3
-    use_pallas_schur: bool = False
+    use_pallas_schur: bool = True    # fused Pallas Schur kernel (7.9x vs XLA on
+                                     # v5e; auto-falls back to XLA off-TPU)
 
 
 @dataclass(frozen=True)

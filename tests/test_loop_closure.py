@@ -40,6 +40,42 @@ def test_pgo_refinement_reduces_drift():
     assert float(r_pgo) < 0.05
 
 
+def test_prefiltered_loops_match_all_pairs():
+    """Signature prescreen (VERDICT r1 item 4): with M = 2x the number of true
+    loops, the top-M candidates recover (at least) the all-pairs loop set and
+    the PGO result is as good."""
+    from sosvo.vo.loop_closure import keyframe_signatures, select_loop_candidates
+
+    rig, cfg, scene, obs, outs = _noisy_replay()
+    T_vo = outs.T_world
+
+    kf = jax.tree.map(lambda x: x[:: cfg.keyframe_every], obs)
+    li_all, lj_all, _, w_all = jax.jit(
+        lambda o: detect_loops(rig, cfg, o, min_gap=3, min_inliers=30))(kf)
+    n_true = int(jnp.sum((w_all > 0).astype(jnp.int32)))
+    assert n_true > 3
+
+    M = 2 * n_true
+    li_m, lj_m, _, w_m = jax.jit(
+        lambda o: detect_loops(rig, cfg, o, min_gap=3, min_inliers=30,
+                               max_candidates=M))(kf)
+    found_all = {(int(a), int(b)) for a, b, w in zip(li_all, lj_all, w_all) if float(w) > 0}
+    found_m = {(int(a), int(b)) for a, b, w in zip(li_m, lj_m, w_m) if float(w) > 0}
+    recall = len(found_m & found_all) / len(found_all)
+    assert recall >= 0.8, (recall, len(found_all), len(found_m))
+
+    # End-to-end: prefiltered PGO refinement still beats raw VO.
+    from sosvo.eval.ate import ate_rmse
+    T_pgo, n_loops = jax.jit(
+        lambda o, T: pgo_refine_trajectory(rig, cfg, o, T, min_gap=3,
+                                           min_inliers=30, max_candidates=M)
+    )(obs, T_vo)
+    gt = scene.poses[1:, :3, 3]
+    r_vo, _ = ate_rmse(T_vo[1:, :3, 3], gt)
+    r_pgo, _ = ate_rmse(T_pgo[1:, :3, 3], gt)
+    assert float(r_pgo) < float(r_vo)
+
+
 def test_detect_loops_rejects_when_unmatchable():
     """Keyframes with disjoint descriptor content must yield no loop edges."""
     rig, cfg, scene, obs, outs = _noisy_replay()

@@ -98,6 +98,50 @@ def test_project_differentiable():
         np.testing.assert_allclose(float(g[i]), float(fd), rtol=2e-2, atol=1e-2)
 
 
+def test_roundtrip_with_distortion_and_misalignment():
+    """Full-GUM terms (SURVEY.md C3): lift(project(X)) || X with nonzero
+    radial/tangential distortion and mirror-axis misalignment (fixed-point
+    undistort + Rodrigues de-rotation)."""
+    rig = default_rig()
+    for base in [rig.top, rig.bottom]:
+        # NB coefficient scale: this model's normalized plane has r2 up to ~6
+        # at the annulus edge (catadioptric m = cos(el)/(sin(el)+xi) is large
+        # at low elevation), so realistic coefficients are ~10x smaller than
+        # pinhole-camera habits; |k1| ~ 0.1 would make the distortion
+        # non-invertible at the outer band.
+        view = base._replace(
+            k1=jnp.float32(-0.02), k2=jnp.float32(1e-3),
+            p1=jnp.float32(5e-4), p2=jnp.float32(-4e-4),
+            mis_rx=jnp.float32(0.01), mis_ry=jnp.float32(-0.008),
+        )
+        pts = _random_pts_in_band(jax.random.PRNGKey(7), 2000, view)
+        uv, ok = sm.project(view, pts)
+        uvc, _ = sm.project(base, pts)
+        # The terms are material: pixels move by much more than the tolerance.
+        moved = float(jnp.max(jnp.linalg.norm(uv - uvc, axis=-1)))
+        assert moved > 1.0, moved
+        ray, _ = sm.lift(view, uv)
+        dirs = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        err = jnp.linalg.norm(ray - dirs, axis=-1)
+        # Only judge points the distorted projection accepted.
+        assert float(jnp.max(jnp.where(ok, err, 0.0))) < 5e-5
+
+
+def test_zero_distortion_reduces_to_clean_model():
+    """With all GUM terms at their zero defaults, project equals the clean
+    closed-form unified model bit-for-bit (identity rotation and zero
+    distortion introduce no rounding: x*1 + y*0 is exact in f32)."""
+    rig = default_rig()
+    view = rig.top
+    pts = _random_pts_in_band(jax.random.PRNGKey(8), 500, view)
+    uv, _ = sm.project(view, pts)
+    s = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    m = s[:, :2] / (s[:, 2:3] + view.xi)
+    uv_clean = jnp.stack([view.fx * m[:, 0] + view.cx,
+                          view.fy * m[:, 1] + view.cy], axis=-1)
+    np.testing.assert_array_equal(np.asarray(uv), np.asarray(uv_clean))
+
+
 def test_annulus_mask_matches_projection():
     rig = default_rig()
     mask = sm.annulus_mask(rig.top, rig.image_height, rig.image_width)
