@@ -148,7 +148,10 @@ def main(argv=None) -> int:
     if args.pgo or cfg.pose_graph:
         T_full = T_est if start_frame == 0 else jnp.concatenate(
             [scene.poses[:start_frame], T_est])
-        T_full, n_loops = pgo_refine_trajectory(rig, cfg, obs, T_full)
+        T_full, n_loops = pgo_refine_trajectory(
+            rig, cfg, obs, T_full,
+            min_inliers=cfg.loop_min_inliers,
+            max_candidates=cfg.loop_candidates or None)
         T_est = T_full[start_frame:]
         n_loops = int(n_loops)
 

@@ -56,8 +56,14 @@ def ba_solve_sharded(mesh: Mesh, win: BAWindow, iters: int = 5,
     # produced from psummed quantities, so they are equal on all shards by
     # construction -- but that equality flows through a data-dependent
     # accept/reject scan, which the static varying-manual-axes inference
-    # cannot prove. The replication invariant is instead asserted dynamically
-    # by tests/test_ba_dist.py against the single-device solver.
+    # cannot prove. A pcast-based refactor was attempted (r2) and is
+    # API-impossible on jax 0.9.0: `jax.lax.pcast` supports only
+    # invarying->{varying,reduced} and varying<->unreduced casts -- there is
+    # NO varying->invariant direction (the cast the checker would need), so
+    # the checker cannot be satisfied without gathering/re-scattering every
+    # psummed carry. The replication invariant is instead asserted
+    # dynamically: tests/test_ba_dist.py vs the single-device solver, and
+    # __graft_entry__.dryrun_multichip in the driver artifact.
     fn = shard_map(
         functools.partial(ba_solve, iters=iters, lam0=lam0, axis_name=MODEL_AXIS,
                           use_pallas=use_pallas, pallas_interpret=pallas_interpret),

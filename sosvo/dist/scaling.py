@@ -20,7 +20,17 @@ import numpy as np
 
 def measure_scaling(device_counts=None, n_frames: int = 16, k: int = 256,
                     seqs_per_device: int = 2, n_landmarks: int = 2048) -> dict:
+    import os
+
     import jax
+
+    # sitecustomize pins JAX_PLATFORMS=axon (remote TPU, ONE chip) at
+    # interpreter start; a multi-device run requested via
+    # --xla_force_host_platform_device_count must land on the CPU backend
+    # (same dance as __graft_entry__.dryrun_multichip).
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from sosvo.dist.mesh import data_mesh

@@ -61,6 +61,22 @@ def extract_observations(
 
     def run_view(view, geom: PanoGeometry):
         pano = warp_panorama(image, geom)
+        if cfg.descriptor == "akaze":
+            # AKAZE option (SURVEY.md C6): nonlinear scale space + Hessian
+            # detection + M-LDB bits. Its own diffusion levels subsume the
+            # linear pyramid, so n_scales is ignored on this path; the packed
+            # uint32 output feeds the same Hamming matcher as BRIEF.
+            from sosvo.frontend.akaze import extract_akaze
+
+            kps, desc = extract_akaze(pano, k, patch=cfg.descriptor_patch,
+                                      threshold=cfg.detect_threshold * 1e-2,
+                                      nms_radius=cfg.nms_grid)
+            rays = pano_ray(geom.height, geom.width, geom.min_elevation,
+                            geom.max_elevation, kps.rows, kps.cols)
+            uv, _ = project(view, rays)
+            lut_ok = geom.valid[kps.rows.astype(jnp.int32),
+                                kps.cols.astype(jnp.int32)]
+            return uv, rays, desc, kps.valid & lut_ok
         # K feature slots split across pyramid octaves (n_scales=1: all at
         # full resolution). Coarse-level keypoints are detected AND described
         # on the downsampled panorama (scale invariance, like ORB's per-level

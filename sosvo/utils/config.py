@@ -92,6 +92,14 @@ class PipelineConfig:
     keyframe_every: int = 4          # keyframe cadence (frames)
     mode: str = "observations"       # "observations" (c1) or "images" (c2+)
     pose_graph: bool = False         # run PGO loop closing after replay (c3)
+    loop_candidates: int = 0         # loop-detection candidate pairs: 0 = all
+                                     # keyframe pairs, M > 0 = top-M by the
+                                     # signature prescreen (O(M) detection)
+    loop_min_inliers: int = 30       # RANSAC inliers required to accept a loop
+                                     # edge. Scale with max_features: weak edges
+                                     # are worse than none (measured on c3:
+                                     # 30/2048 features made PGO RAISE ATE
+                                     # 0.030->0.039; 200 lowered it to 0.025)
 
 
 def _from_dict(cls, d: dict[str, Any]):
