@@ -125,7 +125,8 @@ def detect_loops(
     n_kf = obs_kf.valid_top.shape[0]
     if key is None:
         key = jax.random.PRNGKey(17)
-    pts, desc, ray_t, ray_b, valid = _kf_features(rig, cfg, obs_kf)
+    feats = _kf_features(rig, cfg, obs_kf)
+    pts, desc, ray_t, ray_b, valid = feats
     if max_candidates is None:
         pi, pj = loop_pairs(n_kf, min_gap)
         pair_ok = jnp.ones((pi.shape[0],), bool)
@@ -133,6 +134,19 @@ def detect_loops(
         sig = keyframe_signatures(desc, valid)
         pi, pj, pair_ok = select_loop_candidates(sig, min_gap, max_candidates)
     keys = jax.random.split(key, pi.shape[0])
+    T_meas, w = loop_edges_for_pairs(rig, cfg, feats, pi, pj, keys, min_inliers)
+    w = w * pair_ok.astype(w.dtype)  # zero out prescreen padding slots
+    return jnp.asarray(pj), jnp.asarray(pi), T_meas, w
+
+
+def loop_edges_for_pairs(rig, cfg, feats, pi, pj, keys, min_inliers: int):
+    """Evaluate candidate pairs -> (T_meas, w); the parallelizable core.
+
+    `feats` is the `_kf_features` tuple (replicated across devices); the pair
+    arrays are the natural "data" axis for sharding loop detection across
+    chips (`sosvo/dist/loops_dist.py` runs exactly this function per shard).
+    """
+    pts, desc, ray_t, ray_b, valid = feats
     vps = jnp.stack([viewpoint(rig.top), viewpoint(rig.bottom)])
     eye4 = jnp.eye(4, dtype=jnp.float32)
 
@@ -180,8 +194,7 @@ def detect_loops(
         (jnp.asarray(pi), jnp.asarray(pj), keys),
         batch_size=8,
     )
-    w = w * pair_ok.astype(w.dtype)  # zero out prescreen padding slots
-    return jnp.asarray(pj), jnp.asarray(pi), T_meas, w
+    return T_meas, w
 
 
 def pgo_refine_trajectory(
