@@ -42,6 +42,10 @@ def main(argv=None) -> int:
                     help="pose-graph loop closing at the end (or set "
                          "pipeline.pose_graph in the config, as c3 does)")
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
+    ap.add_argument("--viz", action="store_true",
+                    help="write visualization artifacts to --out: trajectory "
+                         "plot, 3D landmark map + PLY point cloud (ba mode), "
+                         "keypoint/stereo-match overlays (image mode)")
     args = ap.parse_args(argv)
 
     import jax
@@ -174,6 +178,40 @@ def main(argv=None) -> int:
         "device": str(jax.devices()[0]),
     }
     (out / "report.json").write_text(json.dumps(report, indent=2))
+
+    if args.viz:
+        from sosvo.eval.plots import plot_trajectories
+        from sosvo.eval.viz import (keypoint_overlay, match_overlay, plot_map_3d,
+                                    save_ply)
+
+        plot_trajectories(np.asarray(T_est), np.asarray(gt), out / "trajectory.png",
+                          title=f"{Path(args.config).stem}: ATE {float(rmse):.4f} m")
+        artifacts = ["trajectory.png"]
+        if args.mode == "ba":
+            lm = np.asarray(state.map.lm_pos)
+            lv = np.asarray(state.map.lm_valid)
+            n_pts = save_ply(out / "map.ply", lm, valid=lv)
+            plot_map_3d(out / "map_3d.png", np.asarray(T_est), lm, lv,
+                        traj_gt=np.asarray(gt),
+                        title=f"landmark map ({n_pts} points)")
+            artifacts += ["map.ply", "map_3d.png"]
+        if source == "images":
+            from sosvo.vo.pipeline import _match, azimuth_of
+
+            o0 = jax.tree.map(lambda x: x[0], obs)
+            keypoint_overlay(out / "keypoints.png", np.asarray(imgs[0]),
+                             np.asarray(o0.uv_top), np.asarray(o0.valid_top),
+                             np.asarray(o0.uv_bottom), np.asarray(o0.valid_bottom))
+            m = _match(cfg, o0.desc_top, o0.desc_bottom, o0.valid_top,
+                       o0.valid_bottom, az_a=azimuth_of(o0.ray_top),
+                       az_b=azimuth_of(o0.ray_bottom),
+                       band=cfg.frontend.stereo_band_rad)
+            match_overlay(out / "matches.png", np.asarray(imgs[0]),
+                          np.asarray(o0.uv_top),
+                          np.asarray(o0.uv_bottom[m.idx_b]), np.asarray(m.valid))
+            artifacts += ["keypoints.png", "matches.png"]
+        print(f"[sosvo] viz artifacts: {', '.join(artifacts)}")
+
     print(json.dumps(report))
     return 0
 

@@ -14,7 +14,17 @@ import argparse
 import json
 
 
-def phase_breakdown(k: int = 512, n_landmarks: int = 4096, reps: int = 10) -> dict:
+def phase_breakdown(k: int = 512, n_landmarks: int = 4096, reps: int = 5) -> dict:
+    """Amortized per-phase breakdown of the observation-mode VO step.
+
+    Every phase is looped `inner` times INSIDE one dispatch with a vanishing
+    loop-carried dependency (the bench.py protocol): on the remote-TPU tunnel
+    a dispatch costs ~26 ms of RPC, so per-dispatch numbers are pure noise for
+    the 10-300 us phases here (the round-1 breakdown read ~24 ms for every
+    phase for exactly that reason).
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -25,7 +35,7 @@ def phase_breakdown(k: int = 512, n_landmarks: int = 4096, reps: int = 10) -> di
     from sosvo.sensor.rig import default_rig
     from sosvo.synth.scene import make_scene, observe_frame
     from sosvo.utils.config import PipelineConfig
-    from sosvo.utils.profiling import time_jitted
+    from sosvo.utils.profiling import time_amortized
     from sosvo.vo.pipeline import _match, azimuth_of, step
     from sosvo.vo.state import init_track_state
 
@@ -39,45 +49,79 @@ def phase_breakdown(k: int = 512, n_landmarks: int = 4096, reps: int = 10) -> di
 
     times = {}
 
-    az0 = azimuth_of(o0.ray_top)
-    az0b = azimuth_of(o0.ray_bottom)
-    f_stereo = jax.jit(lambda d1, d2: _match(cfg, d1, d2, o0.valid_top, o0.valid_bottom,
-                                             az_a=az0, az_b=az0b,
-                                             band=cfg.frontend.stereo_band_rad))
-    times["stereo_match"] = time_jitted(f_stereo, o0.desc_top, o0.desc_bottom, n=reps)
+    def timed_loop(body, carry0, inner):
+        """Median per-iteration seconds of `carry = body(carry)` in-device."""
+        import statistics
+        import time as _time
 
-    m = f_stereo(o0.desc_top, o0.desc_bottom)
-    f_tri = jax.jit(lambda rt, rb: midpoint_triangulate(
-        rt, rb, viewpoint(rig.top), viewpoint(rig.bottom)))
-    times["triangulate"] = time_jitted(f_tri, o0.ray_top, o0.ray_bottom[m.idx_b], n=reps)
+        loop = jax.jit(lambda c: jax.lax.fori_loop(0, inner, lambda _, c: body(c),
+                                                   c))
+        jax.block_until_ready(loop(carry0))
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(loop(carry0))
+            ts.append(_time.perf_counter() - t0)
+        return statistics.median(ts) / inner
+
+    # Matching consumes uint32 descriptors (no float input to perturb), so
+    # the loop dependency is injected through the azimuth-band penalty for
+    # the stereo variant and through a provably-zero-at-runtime descriptor
+    # XOR for the unbanded temporal variant.
+    az0, az0b = azimuth_of(o0.ray_top), azimuth_of(o0.ray_bottom)
+
+    def stereo_body(az):
+        m = _match(cfg, o0.desc_top, o0.desc_bottom, o0.valid_top, o0.valid_bottom,
+                   az_a=az, az_b=az0b, band=cfg.frontend.stereo_band_rad)
+        return az + jnp.sum(m.dist) * jnp.float32(1e-38)
+
+    times["stereo_match"] = timed_loop(stereo_body, az0, inner=1024)
+    m = _match(cfg, o0.desc_top, o0.desc_bottom, o0.valid_top, o0.valid_bottom,
+               az_a=az0, az_b=az0b, band=cfg.frontend.stereo_band_rad)
+
+    f_tri = functools.partial(midpoint_triangulate, c_top=viewpoint(rig.top),
+                              c_bottom=viewpoint(rig.bottom))
+    times["triangulate"] = time_amortized(
+        lambda rt: f_tri(rt, o0.ray_bottom[m.idx_b]), o0.ray_top,
+        inner=1024, n=reps)
     tri = f_tri(o0.ray_top, o0.ray_bottom[m.idx_b])
 
-    f_temp = jax.jit(lambda d1, d2: _match(cfg, d1, d2, o0.valid_top, o1.valid_top))
-    times["temporal_match"] = time_jitted(f_temp, o0.desc_top, o1.desc_top, n=reps)
-    tm = f_temp(o0.desc_top, o1.desc_top)
+    def temporal_body(c):
+        # (c > 1e30) is always 0 at runtime but data-dependent, so the XOR'd
+        # descriptors defeat loop-invariant hoisting at negligible cost.
+        d1 = o0.desc_top ^ (c > jnp.float32(1e30)).astype(jnp.uint32)
+        tm_i = _match(cfg, d1, o1.desc_top, o0.valid_top, o1.valid_top)
+        return c + jnp.sum(tm_i.dist) * jnp.float32(1e-38)
+
+    times["temporal_match"] = timed_loop(temporal_body, jnp.float32(0.0), inner=1024)
+    tm = _match(cfg, o0.desc_top, o1.desc_top, o0.valid_top, o1.valid_top)
 
     valid = m.valid & tri.valid & tm.valid
-    f_ransac = jax.jit(lambda key: ransac_rigid(
-        key, tri.points, tri.points[tm.idx_b], valid,
-        rays_curr=o1.ray_top[tm.idx_b], n_hyps=cfg.ransac.n_hyps))
-    times["ransac_rigid"] = time_jitted(f_ransac, jax.random.PRNGKey(3), n=reps)
-    rr = f_ransac(jax.random.PRNGKey(3))
+    times["ransac_rigid"] = time_amortized(
+        lambda pts: ransac_rigid(jax.random.PRNGKey(3), pts, tri.points[tm.idx_b],
+                                 valid, rays_curr=o1.ray_top[tm.idx_b],
+                                 n_hyps=cfg.ransac.n_hyps),
+        tri.points, inner=256, n=reps)
+    rr = ransac_rigid(jax.random.PRNGKey(3), tri.points, tri.points[tm.idx_b],
+                      valid, rays_curr=o1.ray_top[tm.idx_b],
+                      n_hyps=cfg.ransac.n_hyps)
 
-    f_refine = jax.jit(lambda T: refine_pose_bearings(
-        T, tri.points, o1.ray_top[tm.idx_b], rr.inliers.astype(jnp.float32)))
-    times["refine"] = time_jitted(f_refine, rr.model, n=reps)
+    times["refine"] = time_amortized(
+        lambda T: refine_pose_bearings(T, tri.points, o1.ray_top[tm.idx_b],
+                                       rr.inliers.astype(jnp.float32)),
+        rr.model, inner=512, n=reps)
 
-    f_step = jax.jit(lambda s, o: step(rig, cfg, s, o))
     st = init_track_state(k, jax.random.PRNGKey(4))
-    times["full_step"] = time_jitted(f_step, st, o0, n=reps)
+    times["full_step"] = time_amortized(
+        lambda s: step(rig, cfg, s, o0)[0], st, inner=128, n=reps)
 
     return {
         "device": str(jax.devices()[0]),
         "k": k,
-        "phases_ms": {n: round(t * 1e3, 3) for n, t in times.items()},
-        "note": ("per-dispatch wall time; on the remote-TPU tunnel each "
-                 "dispatch carries fixed RPC latency, so phase sums exceed "
-                 "the scanned full-replay per-frame cost"),
+        "phases_ms": {n: round(t * 1e3, 4) for n, t in times.items()},
+        "note": ("amortized in-device per-phase times (fori_loop/scan inside "
+                 "one dispatch, divided by iteration count); phases sum to "
+                 "less than full_step, which adds scoring/bookkeeping glue"),
     }
 
 
