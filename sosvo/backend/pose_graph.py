@@ -26,6 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sosvo.backend.schur import inv6x6_spd
 from sosvo.geom.lie import mat_inv, se3_exp, se3_log
 
 GAUGE_PRIOR = 1e8
@@ -188,8 +189,12 @@ def _gn_step_cg(g: PoseGraph, lam, axis_name, anchor, cg_iters: int):
             u = jax.lax.psum(u, axis_name)
         return u + diag_add[:, None] * v
 
+    # Invert the block-diagonal ONCE (closed-form SPD inverse) instead of a
+    # batched LU solve inside every PCG iteration.
+    Dinv = inv6x6_spd(D)
+
     def precond(v):
-        return jnp.linalg.solve(D, v[..., None])[..., 0]
+        return jnp.einsum("nij,nj->ni", Dinv, v)
 
     delta = _pcg(matvec, precond, -b, cg_iters)
     clamp = _node_clamp(g, anchor)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sosvo.backend.schur import solve6x6_spd
 from sosvo.geom.lie import se3_exp, transform_points
 
 
@@ -59,23 +60,36 @@ def refine_pose_bearings(
       (4, 4) refined pose.
     """
 
-    def residual_vec(delta, T, w):
-        T_d = se3_exp(delta) @ T
-        r = bearing_residuals(T_d, pts_prev, rays_curr)
-        return (r * w[:, None]).reshape(-1)
-
     def step(_, T):
-        zero = jnp.zeros(6, dtype=T.dtype)
-        r_raw = bearing_residuals(T, pts_prev, rays_curr)
+        # Closed-form Jacobian (equal to jacfwd of the lifted residual, see
+        # tests/test_ba.py): with q = T p, d = q/|q|, left-perturbation
+        # q(delta) = q + delta_v + delta_w x q gives
+        #   J_k = w_k (I - d d^T)/|q| [ -[q]x | I ]   (tangent = (omega, v)).
+        # One (6, 3N) @ (3N, 6) matmul forms the normal equations -- no 6-pass
+        # jacfwd re-evaluation of the residual graph per iteration.
+        q = transform_points(T, pts_prev)                     # (N, 3)
+        nq = jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+        d = q / nq
+        r_raw = d - rays_curr
         nrm = jnp.linalg.norm(r_raw, axis=-1)
         huber_w = jnp.sqrt(jnp.where(nrm <= huber_delta, 1.0,
                                      huber_delta / jnp.maximum(nrm, 1e-12)))
         w = weights * huber_w
-        J = jax.jacfwd(residual_vec)(zero, T, w)         # (3N, 6)
-        r = residual_vec(zero, T, w)                     # (3N,)
-        H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
-        g = J.T @ r
-        delta = -jnp.linalg.solve(H, g)
+
+        eye3 = jnp.eye(3, dtype=T.dtype)
+        P = eye3 - d[:, :, None] * d[:, None, :]              # (N, 3, 3)
+        zero = jnp.zeros_like(q[:, 0])
+        qhat = jnp.stack([
+            jnp.stack([zero, -q[:, 2], q[:, 1]], axis=-1),
+            jnp.stack([q[:, 2], zero, -q[:, 0]], axis=-1),
+            jnp.stack([-q[:, 1], q[:, 0], zero], axis=-1),
+        ], axis=-2)                                           # (N, 3, 3)
+        B = jnp.concatenate([-(P @ qhat), P], axis=-1) / nq[:, :, None]  # (N, 3, 6)
+        Jw = (w[:, None, None] * B).reshape(-1, 6)            # (3N, 6)
+        rw = (w[:, None] * r_raw).reshape(-1)                 # (3N,)
+        H = Jw.T @ Jw + damping * jnp.eye(6, dtype=T.dtype)
+        g = Jw.T @ rw
+        delta = -solve6x6_spd(H, g)  # closed form; no LU loop on TPU
         return se3_exp(delta) @ T
 
     return jax.lax.fori_loop(0, iters, step, T_init)
@@ -107,7 +121,7 @@ def refine_pose_points(
         r = residual_vec(zero, T, w)
         H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
         g = J.T @ r
-        delta = -jnp.linalg.solve(H, g)
+        delta = -solve6x6_spd(H, g)  # closed form; no LU loop on TPU
         return se3_exp(delta) @ T
 
     return jax.lax.fori_loop(0, iters, step, T_init)

@@ -41,6 +41,54 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
+def solve6x6_spd(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (..., 6, 6) SPD solve via one 2x2-block Schur step.
+
+    `jnp.linalg.solve` lowers a small LU loop on TPU; for the damped
+    Gauss-Newton normal equations (SPD by construction) two adjugate 3x3
+    inversions + a handful of matmuls solve exactly:
+
+        [[A, B], [B^T, D]] x = g,  S = A - B D^-1 B^T,
+        x1 = S^-1 (g1 - B D^-1 g2),  x2 = D^-1 (g2 - B^T x1).
+
+    No pivoting -- callers must damp (the refine/BA paths add lambda*I).
+    """
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    D = H[..., 3:, 3:]
+    g1 = g[..., :3, None]
+    g2 = g[..., 3:, None]
+    Dinv = inv3x3(D)
+    BDinv = B @ Dinv
+    S = A - BDinv @ jnp.swapaxes(B, -1, -2)
+    x1 = inv3x3(S) @ (g1 - BDinv @ g2)
+    x2 = Dinv @ (g2 - jnp.swapaxes(B, -1, -2) @ x1)
+    return jnp.concatenate([x1, x2], axis=-2)[..., 0]
+
+
+def inv6x6_spd(H: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (..., 6, 6) SPD inverse (block Schur over `inv3x3`).
+
+    For a constant preconditioner applied many times (e.g. block-Jacobi in
+    PCG) inverting once beats re-running `jnp.linalg.solve`'s LU loop per
+    application. Same damping contract as `solve6x6_spd`.
+    """
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    D = H[..., 3:, 3:]
+    Bt = jnp.swapaxes(B, -1, -2)
+    Dinv = inv3x3(D)
+    BDinv = B @ Dinv
+    Sinv = inv3x3(A - BDinv @ Bt)
+    TL = Sinv
+    TR = -Sinv @ BDinv
+    BL = jnp.swapaxes(TR, -1, -2)
+    BR = Dinv - jnp.swapaxes(BDinv, -1, -2) @ TR
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, BR], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def reduce_camera_system(
     H_cc: jnp.ndarray,      # (W, 6, 6) pose diagonal blocks (damped, GLOBAL)
     H_cl: jnp.ndarray,      # (W, L, 6, 3) pose-landmark coupling (local shard)

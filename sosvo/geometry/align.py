@@ -10,6 +10,7 @@ chip").
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sosvo.geom.lie import rt_to_mat
@@ -44,17 +45,120 @@ def umeyama(
     dst_c = dst - mu_dst
     # Covariance sum w * dst_c src_c^T, normalized for conditioning.
     cov = jnp.einsum("...ni,...nj->...ij", dst_c * w, src_c) / wsum
-    u, s, vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(u @ vt)
-    d = jnp.ones(cov.shape[:-2] + (3,), dtype=src.dtype).at[..., 2].set(jnp.sign(det))
-    R = (u * d[..., None, :]) @ vt
+    # Rotation via Horn's quaternion method (no SVD: a single small
+    # jnp.linalg.svd lowers to an iterative loop costing ~100s of us on TPU,
+    # and this runs once per frame in the RANSAC refit). The quaternion
+    # parameterization returns a proper rotation by construction -- the same
+    # result as Kabsch's det-sign correction.
+    R = procrustes_rotation(cov)
     if with_scale:
         var_src = jnp.sum(jnp.sum(src_c * src_c, axis=-1) * weights, axis=-1) / wsum[..., 0, 0]
-        scale = jnp.sum(s * d, axis=-1) / jnp.maximum(var_src, 1e-12)
+        # Optimal scale given R: tr(R^T cov) / var_src (equal to Umeyama's
+        # singular-value form at the optimum).
+        tr = jnp.einsum("...ij,...ij->...", R, cov)
+        scale = tr / jnp.maximum(var_src, 1e-12)
     else:
         scale = jnp.ones(cov.shape[:-2], dtype=src.dtype)
     t = mu_dst[..., 0, :] - scale[..., None] * (R @ mu_src[..., 0, :, None])[..., 0]
     return rt_to_mat(scale[..., None, None] * R, t), scale
+
+
+def _adj4(K: jnp.ndarray) -> jnp.ndarray:
+    """Adjugate of a (..., 4, 4) matrix, closed form (16 unrolled 3x3 dets)."""
+
+    def det3(m):
+        return (m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+                - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+                + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]))
+
+    cols = []
+    for i in range(4):           # column i of adj
+        rows_keep = jnp.array([r for r in range(4) if r != i])
+        entries = []
+        for j in range(4):       # adj[j, i] = (-1)^{i+j} det(K del row i, col j)
+            cols_keep = jnp.array([c for c in range(4) if c != j])
+            m = K[..., rows_keep[:, None], cols_keep[None, :]]
+            entries.append(((-1.0) ** (i + j)) * det3(m))
+        cols.append(jnp.stack(entries, axis=-1))     # (..., 4) = adj[:, i]
+    return jnp.stack(cols, axis=-1)
+
+
+def procrustes_rotation(M: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+    """Rotation R maximizing tr(R^T M), SVD-free (Horn's quaternion method).
+
+    On TPU a single small `jnp.linalg.svd`/`eigh` lowers to an iterative
+    one-sided-Jacobi/QR loop costing tens-to-hundreds of microseconds -- per
+    FRAME that dwarfs the whole matmul pipeline around it. Horn's classic
+    alternative: tr(R(q)^T M) = q^T N(M) q for unit quaternions q, so the
+    optimum is the largest eigenpair of a symmetric 4x4 -- computed here the
+    QCP way (Newton on the quartic characteristic polynomial + adjugate
+    kernel extraction): closed-form, fixed iteration count, no
+    data-dependent control flow, and no eigen-gap sensitivity. Always
+    returns a PROPER rotation (the quaternion parameterization cannot
+    express a reflection), which is exactly Kabsch's det-correction
+    behavior. Degenerate M (ambiguous rotation, e.g. all-zero weights)
+    returns a finite valid rotation among the optima.
+
+    Args:
+      M: (..., 3, 3) correlation matrix sum_k w_k dst_k src_k^T
+         (same convention as `umeyama`'s weighted covariance).
+      iters: fixed Newton iteration count for lambda_max.
+
+    Returns:
+      (..., 3, 3) rotations with dst ~= R src in the least-squares sense.
+    """
+    m = M
+    t00, t01, t02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    t10, t11, t12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    t20, t21, t22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    # N(M): q^T N q = tr(R(q)^T M), q = (w, x, y, z).
+    N = jnp.stack([
+        jnp.stack([t00 + t11 + t22, t21 - t12, t02 - t20, t10 - t01], axis=-1),
+        jnp.stack([t21 - t12, t00 - t11 - t22, t10 + t01, t02 + t20], axis=-1),
+        jnp.stack([t02 - t20, t10 + t01, t11 - t00 - t22, t21 + t12], axis=-1),
+        jnp.stack([t10 - t01, t02 + t20, t21 + t12, t22 - t00 - t11], axis=-1),
+    ], axis=-2)                                              # (..., 4, 4)
+    # QCP-style largest eigenpair (Theobald 2005): N is TRACELESS, so its
+    # characteristic polynomial is a depressed quartic
+    #   P(x) = x^4 + c2 x^2 + c1 x + c0,
+    #   c2 = -tr(N^2)/2, c1 = -tr(N^3)/3, c0 = (tr(N^2)^2/2 - tr(N^4))/4
+    # (Newton's identities with e1 = 0). lambda_max is found by Newton from
+    # the upper bound sqrt(tr(N^2)) -- monotone from above for a polynomial
+    # with all-real roots -- and the eigenvector is the largest column of
+    # adj(N - lambda I) (rank-3 kernel extraction). Unlike shifted power
+    # iteration this has no eigen-gap sensitivity: near-rank-1 covariances
+    # (almost-collinear point sets) converge just as fast.
+    scale = jnp.linalg.norm(N, axis=(-2, -1), keepdims=True) + 1e-30
+    Nn = N / scale
+    N2 = Nn @ Nn
+    N3 = N2 @ Nn
+    p2 = jnp.trace(N2, axis1=-2, axis2=-1)
+    p3 = jnp.trace(N3, axis1=-2, axis2=-1)
+    p4 = jnp.trace(N2 @ N2, axis1=-2, axis2=-1)
+    c2, c1, c0 = -0.5 * p2, -p3 / 3.0, 0.25 * (0.5 * p2 * p2 - p4)
+    lam = jnp.sqrt(jnp.maximum(p2, 1e-30))
+
+    def newton(_, lam):
+        P = ((lam * lam + c2) * lam + c1) * lam + c0
+        dP = (4.0 * lam * lam + 2.0 * c2) * lam + c1
+        return lam - P / jnp.where(jnp.abs(dP) < 1e-20,
+                                   jnp.where(dP >= 0, 1e-20, -1e-20), dP)
+
+    lam = jax.lax.fori_loop(0, iters, newton, lam)
+    K = Nn - lam[..., None, None] * jnp.broadcast_to(
+        jnp.eye(4, dtype=M.dtype), N.shape)
+    adj = _adj4(K)                                   # columns span ker(K)
+    norms = jnp.linalg.norm(adj, axis=-2)            # (..., 4)
+    best = jnp.argmax(norms, axis=-1)
+    q = jnp.take_along_axis(adj, best[..., None, None], axis=-1)[..., 0]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], axis=-1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], axis=-1),
+    ], axis=-2)
+    return R
 
 
 def rigid_from_three_points(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:

@@ -33,6 +33,23 @@ def essential_rows(rays1: jnp.ndarray, rays2: jnp.ndarray) -> jnp.ndarray:
     return outer.reshape(outer.shape[:-2] + (9,))
 
 
+def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate/determinant) 3x3 inverse; batched, no LU loop."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / (det[..., None, None] + jnp.where(det[..., None, None] >= 0, 1e-30, -1e-30))
+
+
 def fit_essential(rays1: jnp.ndarray, rays2: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Weighted 8-point fit on the sphere -> (..., 3, 3) essential matrix."""
     a = essential_rows(rays1, rays2)
@@ -71,6 +88,49 @@ def fit_essential_fast(rays1: jnp.ndarray, rays2: jnp.ndarray,
 
     E = v[..., :, 0].reshape(M.shape[:-2] + (3, 3))
     return E / jnp.maximum(jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-12)
+
+
+def _sym_pack(G: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) symmetric -> (..., 6) [G00, G11, G22, 2G01, 2G02, 2G12]."""
+    return jnp.stack([G[..., 0, 0], G[..., 1, 1], G[..., 2, 2],
+                      2.0 * G[..., 0, 1], 2.0 * G[..., 0, 2],
+                      2.0 * G[..., 1, 2]], axis=-1)
+
+
+def _sym_feats(r: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) rays -> (..., 6) [r0^2, r1^2, r2^2, r0r1, r0r2, r1r2] so that
+    `_sym_pack(G) . _sym_feats(r) == r^T G r`."""
+    return jnp.stack([r[..., 0] * r[..., 0], r[..., 1] * r[..., 1],
+                      r[..., 2] * r[..., 2], r[..., 0] * r[..., 1],
+                      r[..., 0] * r[..., 2], r[..., 1] * r[..., 2]], axis=-1)
+
+
+def epipolar_residual_sin_hyps(E_h: jnp.ndarray, rays1: jnp.ndarray,
+                               rays2: jnp.ndarray) -> jnp.ndarray:
+    """`epipolar_residual_sin` for a hypothesis batch, as MXU matmuls.
+
+    The vmapped form materializes (H, K, 3) `E r1` / `E^T r2` intermediates;
+    expanding the bilinear/quadratic forms instead:
+
+        num_hk        = |r2_k^T E_h r1_k|    = |<E_h, r2_k (x) r1_k>|
+        ||E_h r1_k||^2  = r1_k^T (E_h^T E_h) r1_k
+        ||E_h^T r2_k||^2 = r2_k^T (E_h E_h^T) r2_k
+
+    i.e. one (H, 9) @ (9, K) matmul plus two (H, 6) @ (6, K) quadratic-form
+    matmuls (symmetric packing), with only (H, K) f32 intermediates. Equal to
+    the vmapped form up to f32 rounding (tests/test_geometry.py).
+    """
+    k = rays1.shape[0]
+    lhs_n = E_h.reshape(-1, 9)                                   # (H, 9)
+    rhs_n = (rays2[:, :, None] * rays1[:, None, :]).reshape(k, 9)  # (K, 9)
+    num = jnp.abs(lhs_n @ rhs_n.T)                               # (H, K)
+    G1 = jnp.einsum("hij,hik->hjk", E_h, E_h)                    # E^T E
+    G2 = jnp.einsum("hij,hkj->hik", E_h, E_h)                    # E E^T
+    d1 = _sym_pack(G1) @ _sym_feats(rays1).T                     # (H, K)
+    d2 = _sym_pack(G2) @ _sym_feats(rays2).T
+    s1 = num * jax.lax.rsqrt(jnp.maximum(d1, 1e-18))
+    s2 = num * jax.lax.rsqrt(jnp.maximum(d2, 1e-18))
+    return 0.5 * (s1 + s2)
 
 
 def epipolar_residual_sin(E: jnp.ndarray, rays1: jnp.ndarray, rays2: jnp.ndarray) -> jnp.ndarray:
@@ -128,16 +188,36 @@ def decompose_essential(
       t: (..., 3) unit translation (scale is unobservable from E).
       support: (...,) weighted cheirality-consistent correspondence count.
     """
-    u, _, vt = jnp.linalg.svd(E)
-    # Enforce proper rotations.
-    du = jnp.linalg.det(u)
-    dv = jnp.linalg.det(vt)
-    u = u * jnp.stack([jnp.ones_like(du), jnp.ones_like(du), du], axis=-1)[..., None, :]
-    vt = vt * jnp.stack([jnp.ones_like(dv), jnp.ones_like(dv), dv], axis=-1)[..., :, None]
-    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
-    Ra = u @ W @ vt
-    Rb = u @ W.T @ vt
-    tt = u[..., :, 2]
+    # SVD-free candidate extraction (a single small jnp.linalg.svd lowers to
+    # an iterative loop on TPU; this runs once per frame):
+    #   t: the left null direction of E (E = [t]x R => t^T E = 0), i.e. the
+    #      smallest eigenvector of G = E E^T -- two closed-form (adjugate)
+    #      inverse-iteration steps on G + eps*I.
+    #   R: E is homogeneous (DLT sign is arbitrary), so given t the twisted
+    #      pair is {Procrustes([t]x^T E), Procrustes(-[t]x^T E)}: for an exact
+    #      essential matrix [t]x^T(+-E) = (I - t t^T) R_a/b, whose nearest
+    #      rotation is exactly R_a/b (unique -- any other rotation loses trace
+    #      against the rank-2 projector).
+    from sosvo.geometry.align import procrustes_rotation
+
+    G = E @ jnp.swapaxes(E, -1, -2)
+    eps = 1e-5 * jnp.trace(G, axis1=-2, axis2=-1)[..., None, None] + 1e-20
+    Gs = G + eps * jnp.broadcast_to(jnp.eye(3, dtype=E.dtype), G.shape)
+    Ginv = _inv3x3(Gs)
+    tt = jnp.broadcast_to(
+        jnp.array([0.5774, 0.5774, 0.5774], dtype=E.dtype), G.shape[:-1])
+    for _ in range(3):
+        tt = jnp.einsum("...ij,...j->...i", Ginv, tt)
+        tt = tt / jnp.maximum(jnp.linalg.norm(tt, axis=-1, keepdims=True), 1e-30)
+    zero = jnp.zeros_like(tt[..., 0])
+    tx = jnp.stack([
+        jnp.stack([zero, -tt[..., 2], tt[..., 1]], axis=-1),
+        jnp.stack([tt[..., 2], zero, -tt[..., 0]], axis=-1),
+        jnp.stack([-tt[..., 1], tt[..., 0], zero], axis=-1),
+    ], axis=-2)
+    M = jnp.swapaxes(tx, -1, -2) @ E
+    Ra = procrustes_rotation(M)
+    Rb = procrustes_rotation(-M)
 
     def support_of(R, t):
         # Camera 1 at origin; camera 2 center in frame 1 is -R^T t; ray2 in

@@ -111,6 +111,14 @@ def phase_breakdown(k: int = 512, n_landmarks: int = 4096, reps: int = 5) -> dic
                                        rr.inliers.astype(jnp.float32)),
         rr.model, inner=512, n=reps)
 
+    from sosvo.geometry.ransac import ransac_essential
+
+    times["ransac_essential"] = time_amortized(
+        lambda r0: ransac_essential(jax.random.PRNGKey(5), r0,
+                                    o1.ray_top[tm.idx_b], valid,
+                                    n_hyps=cfg.ransac.n_hyps)[0].model,
+        o0.ray_top, inner=256, n=reps)
+
     st = init_track_state(k, jax.random.PRNGKey(4))
     times["full_step"] = time_amortized(
         lambda s: step(rig, cfg, s, o0)[0], st, inner=128, n=reps)

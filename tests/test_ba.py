@@ -99,3 +99,17 @@ def test_ba_solve_pallas_schur_matches():
     res_p = ba_solve(win, iters=5, use_pallas=True)
     assert float(jnp.max(jnp.abs(res_x.X - res_p.X))) < 1e-4
     assert abs(float(res_x.cost) - float(res_p.cost)) < 1e-6 + 1e-3 * float(res_x.cost)
+
+
+def test_solve6x6_spd_matches_linalg():
+    from sosvo.backend.schur import inv6x6_spd, solve6x6_spd
+
+    key = jax.random.PRNGKey(3)
+    A = jax.random.normal(key, (12, 6, 6))
+    H = A @ jnp.swapaxes(A, -1, -2) + 0.1 * jnp.eye(6)
+    g = jax.random.normal(jax.random.PRNGKey(4), (12, 6))
+    x_ref = jnp.linalg.solve(H, g[..., None])[..., 0]
+    x = solve6x6_spd(H, g)
+    assert float(jnp.max(jnp.abs(x - x_ref))) < 1e-4
+    Hinv = inv6x6_spd(H)
+    assert float(jnp.max(jnp.abs(Hinv @ H - jnp.eye(6)))) < 1e-3

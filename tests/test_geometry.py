@@ -227,3 +227,78 @@ def test_fit_essential_fast_matches_eigh():
         E_fast = fit_essential_fast(r1, r2, w)
         res = epipolar_residual_angle(E_fast, r1, r2)
         assert float(jnp.max(res)) < 1e-3, (seed, float(jnp.max(res)))
+
+
+def test_bearing_neg_cos_hyps_matches_vmapped():
+    """MXU-matmul hypothesis scoring == the vmapped elementwise form."""
+    from sosvo.geom.lie import se3_exp
+    from sosvo.geometry.ransac import _bearing_neg_cos, _bearing_neg_cos_hyps
+
+    key = jax.random.PRNGKey(77)
+    kH, kP, kR = jax.random.split(key, 3)
+    T_h = se3_exp(0.3 * jax.random.normal(kH, (32, 6)))
+    pts = 4.0 * jax.random.normal(kP, (64, 3))
+    rays = jax.random.normal(kR, (64, 3))
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    ref = jax.vmap(lambda T: _bearing_neg_cos(T, pts, rays))(T_h)
+    got = _bearing_neg_cos_hyps(T_h, pts, rays)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
+
+
+def test_epipolar_residual_sin_hyps_matches_vmapped():
+    """MXU-matmul epipolar scoring == the vmapped elementwise form."""
+    from sosvo.geometry.essential import (epipolar_residual_sin,
+                                          epipolar_residual_sin_hyps)
+
+    key = jax.random.PRNGKey(88)
+    kE, k1, k2 = jax.random.split(key, 3)
+    E_h = jax.random.normal(kE, (16, 3, 3))
+    E_h = E_h / jnp.linalg.norm(E_h, axis=(-2, -1), keepdims=True)
+    r1 = jax.random.normal(k1, (64, 3))
+    r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+    r2 = jax.random.normal(k2, (64, 3))
+    r2 = r2 / jnp.linalg.norm(r2, axis=-1, keepdims=True)
+    ref = jax.vmap(lambda E: epipolar_residual_sin(E, r1, r2))(E_h)
+    got = epipolar_residual_sin_hyps(E_h, r1, r2)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-6
+
+
+def test_refine_bearings_analytic_jacobian_matches_autodiff():
+    """The closed-form GN step in refine_pose_bearings == a jacfwd reference."""
+    from sosvo.backend.refine import bearing_residuals, refine_pose_bearings
+    from sosvo.geom.lie import se3_exp
+
+    key = jax.random.PRNGKey(5)
+    kP, kR, kT = jax.random.split(key, 3)
+    pts = 3.0 * jax.random.normal(kP, (40, 3))
+    T_gt = se3_exp(jnp.array([0.05, -0.02, 0.1, 0.2, -0.1, 0.05]))
+    q = pts @ T_gt[:3, :3].T + T_gt[:3, 3]
+    rays = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    rays = rays + 0.002 * jax.random.normal(kR, rays.shape)
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    w = jnp.ones(40)
+    T0 = se3_exp(jnp.array([0.03, 0.01, -0.02, 0.05, 0.02, -0.04])) @ T_gt
+
+    def refine_jacfwd(T_init, iters=6, damping=1e-4, huber_delta=0.01):
+        def residual_vec(delta, T, ww):
+            r = bearing_residuals(se3_exp(delta) @ T, pts, rays)
+            return (r * ww[:, None]).reshape(-1)
+
+        def step(_, T):
+            zero = jnp.zeros(6, dtype=T.dtype)
+            r_raw = bearing_residuals(T, pts, rays)
+            nrm = jnp.linalg.norm(r_raw, axis=-1)
+            hw = jnp.sqrt(jnp.where(nrm <= huber_delta, 1.0,
+                                    huber_delta / jnp.maximum(nrm, 1e-12)))
+            ww = w * hw
+            J = jax.jacfwd(residual_vec)(zero, T, ww)
+            r = residual_vec(zero, T, ww)
+            H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
+            delta = -jnp.linalg.solve(H, J.T @ r)
+            return se3_exp(delta) @ T
+
+        return jax.lax.fori_loop(0, iters, step, T_init)
+
+    T_ref = refine_jacfwd(T0)
+    T_new = refine_pose_bearings(T0, pts, rays, w)
+    assert float(jnp.max(jnp.abs(T_new - T_ref))) < 1e-5
