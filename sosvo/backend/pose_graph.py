@@ -55,6 +55,65 @@ def edge_residual(X_i: jnp.ndarray, X_j: jnp.ndarray, T_meas: jnp.ndarray) -> jn
     return se3_log(mat_inv(T_meas) @ X_i @ mat_inv(X_j))
 
 
+def _robust_edge_weight(g: PoseGraph, robust: str, delta: float) -> jnp.ndarray:
+    """(E,) IRLS multiplier omega(||w r||) for the configured robust kernel.
+
+    Loop edges are produced by RANSAC over descriptor matches; a perceptually
+    aliased pair (two corridor corners that look alike) yields a confidently
+    WRONG edge whose residual no inlier threshold can catch -- the c3
+    edge-quality sweep measured weak edges RAISING ATE (BASELINE.md c3 row).
+    Robust kernels bound each edge's influence:
+
+      huber: omega = min(1, delta/||r||)      -- linear tail, bounded gradient
+      dcs:   omega = min(1, 2 delta^2/(delta^2+||r||^2))  -- Dynamic Covariance
+             Scaling (Agarwal et al., ICRA 2013): the closed-form stationary
+             point of a switchable constraint, so a gross outlier's influence
+             -> 0 instead of merely growing linearly.
+
+    Recomputed every GN iteration from the CURRENT estimate (IRLS); applied as
+    sqrt(omega) on the weighted residual/Jacobians so the normal equations are
+    those of the robustified cost. All branch-free, shapes static.
+    """
+    if robust == "none":
+        return jnp.ones_like(g.w)
+    r = jax.vmap(lambda Xi, Xj, Tm, w: w * edge_residual(Xi, Xj, Tm))(
+        g.X[g.ei], g.X[g.ej], g.T_meas, g.w)
+    s2 = jnp.sum(r * r, axis=-1)                     # (E,) squared norms
+    if robust == "huber":
+        return jnp.minimum(1.0, delta * jax.lax.rsqrt(jnp.maximum(s2, 1e-24)))
+    if robust == "dcs":
+        return jnp.minimum(1.0, 2.0 * delta * delta / (delta * delta + s2))
+    raise ValueError(f"unknown robust kernel {robust!r}")
+
+
+def _robust_cost(g: PoseGraph, robust: str, delta: float,
+                 axis_name: str | None) -> jnp.ndarray:
+    """Total robustified cost sum_e rho(||w_e r_e||^2) / 2 (accept/reject metric).
+
+    Must be the rho-cost, not the reweighted quadratic: IRLS accept/reject on
+    the quadratic of stale weights is not monotone in the true objective.
+    """
+    r = jax.vmap(lambda Xi, Xj, Tm, w: w * edge_residual(Xi, Xj, Tm))(
+        g.X[g.ei], g.X[g.ej], g.T_meas, g.w)
+    s2 = jnp.sum(r * r, axis=-1)
+    if robust == "none":
+        rho = s2
+    elif robust == "huber":
+        s = jnp.sqrt(jnp.maximum(s2, 1e-24))
+        rho = jnp.where(s <= delta, s2, 2.0 * delta * s - delta * delta)
+    elif robust == "dcs":
+        # rho(s2) = s2 * omega(s2) * (2 - omega(s2)) -- the scaled residual's
+        # contribution at the DCS stationary point (omega clamped at 1 inline).
+        om = jnp.minimum(1.0, 2.0 * delta * delta / (delta * delta + s2))
+        rho = s2 * om * (2.0 - om)
+    else:
+        raise ValueError(f"unknown robust kernel {robust!r}")
+    cost = 0.5 * jnp.sum(rho)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return cost
+
+
 def _edge_jacobians(X_i, X_j, T_meas, w):
     """Weighted residual + Jacobians wrt the two endpoint tangents."""
 
@@ -223,16 +282,23 @@ def _gn_step(g: PoseGraph, lam, axis_name, anchor):
 def pgo_solve(g: PoseGraph, iters: int = 10, lam0: float = 1e-4,
               axis_name: str | None = None,
               anchor: jnp.ndarray | int = 0,
-              solver: str = "dense", cg_iters: int = 32) -> PGOResult:
+              solver: str = "dense", cg_iters: int = 32,
+              robust: str = "none", robust_delta: float = 0.1) -> PGOResult:
     """Damped GN with accept/reject, fixed iteration count (lax.scan).
 
     solver="dense": exact 6Nx6N solve (small graphs).
     solver="cg": matrix-free block-Jacobi PCG, O(E) memory -- use for long
       trajectories / sharded edges (SURVEY.md C14 sparse solve).
+    robust="huber"|"dcs": IRLS robust kernel over edge residual norms with
+      scale `robust_delta` (rad/m mixed SE(3)-tangent units); bounds the
+      influence of wrong loop edges (see `_robust_edge_weight`). The reported
+      cost/cost0 are then the robustified objective.
     """
     if solver not in ("dense", "cg"):
         raise ValueError(f"unknown solver {solver!r}")
-    cost0 = pgo_cost(g, axis_name)
+    if robust not in ("none", "huber", "dcs"):
+        raise ValueError(f"unknown robust kernel {robust!r}")
+    cost0 = _robust_cost(g, robust, robust_delta, axis_name)
     lam = jnp.asarray(lam0, g.X.dtype)
 
     if axis_name is not None:
@@ -246,11 +312,19 @@ def pgo_solve(g: PoseGraph, iters: int = 10, lam0: float = 1e-4,
 
     def body(carry, _):
         gg, lam, cost = carry
-        if solver == "cg":
-            cand = _gn_step_cg(gg, lam, axis_name, anchor, cg_iters)
+        if robust == "none":
+            gw = gg
         else:
-            cand = _gn_step(gg, lam, axis_name, anchor)
-        cand_cost = pgo_cost(cand, axis_name)
+            # IRLS: fold sqrt(omega) of the CURRENT estimate into the edge
+            # weights for this linearization only (gg itself keeps raw w).
+            om = _robust_edge_weight(gg, robust, robust_delta)
+            gw = gg._replace(w=gg.w * jnp.sqrt(om))
+        if solver == "cg":
+            cand = _gn_step_cg(gw, lam, axis_name, anchor, cg_iters)
+        else:
+            cand = _gn_step(gw, lam, axis_name, anchor)
+        cand = gg._replace(X=cand.X)
+        cand_cost = _robust_cost(cand, robust, robust_delta, axis_name)
         accept = cand_cost < cost
         g_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, gg)
         lam_next = jnp.clip(jnp.where(accept, lam / 3.0, lam * 9.0), 1e-9, 1e4)

@@ -155,7 +155,8 @@ def main(argv=None) -> int:
         T_full, n_loops = pgo_refine_trajectory(
             rig, cfg, obs, T_full,
             min_inliers=cfg.loop_min_inliers,
-            max_candidates=cfg.loop_candidates or None)
+            max_candidates=cfg.loop_candidates or None,
+            robust=cfg.pgo_robust, robust_delta=cfg.pgo_robust_delta)
         T_est = T_full[start_frame:]
         n_loops = int(n_loops)
 

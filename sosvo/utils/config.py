@@ -100,6 +100,13 @@ class PipelineConfig:
                                      # are worse than none (measured on c3:
                                      # 30/2048 features made PGO RAISE ATE
                                      # 0.030->0.039; 200 lowered it to 0.025)
+    pgo_robust: str = "dcs"          # robust kernel on pose-graph edges:
+                                     # "none" | "huber" | "dcs". Second line of
+                                     # defense after the inlier gate: bounds the
+                                     # damage of a perceptually-aliased (wrong
+                                     # but high-inlier) loop edge
+    pgo_robust_delta: float = 0.1    # kernel scale on SE(3)-tangent edge
+                                     # residual norms (rad/m mixed units)
 
 
 def _from_dict(cls, d: dict[str, Any]):

@@ -207,6 +207,8 @@ def pgo_refine_trajectory(
     iters: int = 10,
     odom_weight: float = 1.0,
     max_candidates: int | None = None,
+    robust: str = "none",
+    robust_delta: float = 0.1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Close loops over a replayed trajectory; returns (corrected poses, n_loops).
 
@@ -236,7 +238,7 @@ def pgo_refine_trajectory(
         T_meas=jnp.concatenate([T_odom, T_loop]),
         w=jnp.concatenate([w_odom, w_loop]),
     )
-    res = pgo_solve(g, iters=iters)
+    res = pgo_solve(g, iters=iters, robust=robust, robust_delta=robust_delta)
 
     # Rigid per-segment correction: frame f governed by keyframe k(f).
     gov = jnp.asarray(np.minimum(np.arange(n_frames) // cfg.keyframe_every,

