@@ -55,6 +55,32 @@ def edge_residual(X_i: jnp.ndarray, X_j: jnp.ndarray, T_meas: jnp.ndarray) -> jn
     return se3_log(mat_inv(T_meas) @ X_i @ mat_inv(X_j))
 
 
+def robust_omega(s2: jnp.ndarray, robust: str, delta: float) -> jnp.ndarray:
+    """IRLS weight rho'(s2) for squared residual norms s2 (branch-free)."""
+    if robust == "none":
+        return jnp.ones_like(s2)
+    if robust == "huber":
+        return jnp.minimum(1.0, delta * jax.lax.rsqrt(jnp.maximum(s2, 1e-24)))
+    if robust == "dcs":
+        return jnp.minimum(1.0, 2.0 * delta * delta / (delta * delta + s2))
+    raise ValueError(f"unknown robust kernel {robust!r}")
+
+
+def robust_rho(s2: jnp.ndarray, robust: str, delta: float) -> jnp.ndarray:
+    """Robustified per-edge cost rho(s2) (so rho=s2 for the L2 kernel)."""
+    if robust == "none":
+        return s2
+    if robust == "huber":
+        s = jnp.sqrt(jnp.maximum(s2, 1e-24))
+        return jnp.where(s <= delta, s2, 2.0 * delta * s - delta * delta)
+    if robust == "dcs":
+        # rho(s2) = s2 * omega * (2 - omega): the scaled residual's
+        # contribution at the DCS stationary point (omega clamped at 1).
+        om = jnp.minimum(1.0, 2.0 * delta * delta / (delta * delta + s2))
+        return s2 * om * (2.0 - om)
+    raise ValueError(f"unknown robust kernel {robust!r}")
+
+
 def _robust_edge_weight(g: PoseGraph, robust: str, delta: float) -> jnp.ndarray:
     """(E,) IRLS multiplier omega(||w r||) for the configured robust kernel.
 
@@ -78,12 +104,7 @@ def _robust_edge_weight(g: PoseGraph, robust: str, delta: float) -> jnp.ndarray:
         return jnp.ones_like(g.w)
     r = jax.vmap(lambda Xi, Xj, Tm, w: w * edge_residual(Xi, Xj, Tm))(
         g.X[g.ei], g.X[g.ej], g.T_meas, g.w)
-    s2 = jnp.sum(r * r, axis=-1)                     # (E,) squared norms
-    if robust == "huber":
-        return jnp.minimum(1.0, delta * jax.lax.rsqrt(jnp.maximum(s2, 1e-24)))
-    if robust == "dcs":
-        return jnp.minimum(1.0, 2.0 * delta * delta / (delta * delta + s2))
-    raise ValueError(f"unknown robust kernel {robust!r}")
+    return robust_omega(jnp.sum(r * r, axis=-1), robust, delta)
 
 
 def _robust_cost(g: PoseGraph, robust: str, delta: float,
@@ -95,20 +116,7 @@ def _robust_cost(g: PoseGraph, robust: str, delta: float,
     """
     r = jax.vmap(lambda Xi, Xj, Tm, w: w * edge_residual(Xi, Xj, Tm))(
         g.X[g.ei], g.X[g.ej], g.T_meas, g.w)
-    s2 = jnp.sum(r * r, axis=-1)
-    if robust == "none":
-        rho = s2
-    elif robust == "huber":
-        s = jnp.sqrt(jnp.maximum(s2, 1e-24))
-        rho = jnp.where(s <= delta, s2, 2.0 * delta * s - delta * delta)
-    elif robust == "dcs":
-        # rho(s2) = s2 * omega(s2) * (2 - omega(s2)) -- the scaled residual's
-        # contribution at the DCS stationary point (omega clamped at 1 inline).
-        om = jnp.minimum(1.0, 2.0 * delta * delta / (delta * delta + s2))
-        rho = s2 * om * (2.0 - om)
-    else:
-        raise ValueError(f"unknown robust kernel {robust!r}")
-    cost = 0.5 * jnp.sum(rho)
+    cost = 0.5 * jnp.sum(robust_rho(jnp.sum(r * r, axis=-1), robust, delta))
     if axis_name is not None:
         cost = jax.lax.psum(cost, axis_name)
     return cost

@@ -34,7 +34,13 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sosvo.backend.pose_graph import GAUGE_PRIOR, _edge_jacobians, _pcg
+from sosvo.backend.pose_graph import (
+    GAUGE_PRIOR,
+    _edge_jacobians,
+    _pcg,
+    robust_omega,
+    robust_rho,
+)
 from sosvo.geom.lie import se3_exp
 
 
@@ -156,11 +162,27 @@ def _matvec(g, odo, loop, diag_add, axis_name, v_loc):
     return u + diag_add[:, None] * v_loc
 
 
-def _gn_step(g: TimeShardedGraph, lam, axis_name: str, cg_iters: int):
+def _reweight(terms, robust: str, delta: float):
+    """IRLS: scale (r, J_i, J_j) by sqrt(omega(||r||^2)) per edge.
+
+    Same kernel semantics as `sosvo.backend.pose_graph` (robust_omega); the
+    per-edge weights are shard-local functions of shard-local residuals, so no
+    extra communication is introduced."""
+    r, J_i, J_j = terms
+    if robust == "none":
+        return terms
+    sw = jnp.sqrt(robust_omega(jnp.sum(r * r, axis=-1), robust, delta))
+    return r * sw[:, None], J_i * sw[:, None, None], J_j * sw[:, None, None]
+
+
+def _gn_step(g: TimeShardedGraph, lam, axis_name: str, cg_iters: int,
+             robust: str = "none", robust_delta: float = 0.1):
     n_loc = g.X.shape[0]
     D = jax.lax.axis_size(axis_name)
     d = jax.lax.axis_index(axis_name)
     odo, loop = _shard_terms(g, axis_name)
+    odo = _reweight(odo, robust, robust_delta)
+    loop = _reweight(loop, robust, robust_delta)
     r_o, Ji_o, Jj_o = odo
     r_l, Ji_l, Jj_l = loop
 
@@ -197,25 +219,32 @@ def _gn_step(g: TimeShardedGraph, lam, axis_name: str, cg_iters: int):
     return g._replace(X=jnp.einsum("nij,njk->nik", se3_exp(delta), g.X))
 
 
-def _cost(g: TimeShardedGraph, axis_name: str) -> jnp.ndarray:
+def _cost(g: TimeShardedGraph, axis_name: str,
+          robust: str = "none", robust_delta: float = 0.1) -> jnp.ndarray:
+    """Robustified total cost (rho-cost, the accept/reject metric). Each loop
+    edge is weighted on exactly one shard (w=0 elsewhere, rho(0)=0), so the
+    psum counts it once."""
     odo, loop = _shard_terms(g, axis_name)
-    c = 0.5 * (jnp.sum(odo[0] ** 2) + jnp.sum(loop[0] ** 2))
+    c = 0.5 * (
+        jnp.sum(robust_rho(jnp.sum(odo[0] ** 2, axis=-1), robust, robust_delta))
+        + jnp.sum(robust_rho(jnp.sum(loop[0] ** 2, axis=-1), robust, robust_delta)))
     return jax.lax.psum(c, axis_name)
 
 
 def _solve_local(g: TimeShardedGraph, iters: int, lam0: float, cg_iters: int,
-                 axis_name: str) -> TimePGOResult:
+                 axis_name: str, robust: str = "none",
+                 robust_delta: float = 0.1) -> TimePGOResult:
     # NOTE: runs under check_vma=False (see pgo_solve_time_sharded) -- the
     # replicated cost/accept values are equal on all shards by construction
     # (they come out of psums), which the static checker cannot prove through
     # the accept/reject scan.
-    cost0 = _cost(g, axis_name)
+    cost0 = _cost(g, axis_name, robust, robust_delta)
     lam = jnp.asarray(lam0, g.X.dtype)
 
     def body(carry, _):
         gg, lam, cost = carry
-        cand = _gn_step(gg, lam, axis_name, cg_iters)
-        cand_cost = _cost(cand, axis_name)
+        cand = _gn_step(gg, lam, axis_name, cg_iters, robust, robust_delta)
+        cand_cost = _cost(cand, axis_name, robust, robust_delta)
         accept = cand_cost < cost
         g_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, gg)
         lam_next = jnp.clip(jnp.where(accept, lam / 3.0, lam * 9.0), 1e-9, 1e4)
@@ -233,11 +262,14 @@ def pgo_solve_time_sharded(
     iters: int = 10,
     lam0: float = 1e-4,
     cg_iters: int = 32,
+    robust: str = "none",
+    robust_delta: float = 0.1,
 ) -> TimePGOResult:
     """Solve a pose graph with node states sharded along time over `axis_name`.
 
     N (= g.X.shape[0]) must divide by the axis size. Returns the result with
-    X sharded the same way; cost scalars replicated.
+    X sharded the same way; cost scalars replicated. `robust`/`robust_delta`
+    mirror `sosvo.backend.pose_graph.pgo_solve` (huber/dcs IRLS on edges).
     """
     n_axis = mesh.shape[axis_name]
     if g.X.shape[0] % n_axis != 0:
@@ -249,7 +281,8 @@ def pgo_solve_time_sharded(
     )
     fn = shard_map(
         functools.partial(_solve_local, iters=iters, lam0=lam0,
-                          cg_iters=cg_iters, axis_name=axis_name),
+                          cg_iters=cg_iters, axis_name=axis_name,
+                          robust=robust, robust_delta=robust_delta),
         mesh=mesh,
         in_specs=(time_spec,),
         out_specs=TimePGOResult(X=P(axis_name), cost=P(), cost0=P(), accepted=P()),

@@ -90,6 +90,81 @@ def fit_essential_fast(rays1: jnp.ndarray, rays2: jnp.ndarray,
     return E / jnp.maximum(jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-12)
 
 
+def _eigvec_smallest_sym3(P: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric 3x3.
+
+    Closed form, branch-free: smallest eigenvalue via the trigonometric
+    formula for symmetric 3x3 matrices, eigenvector as the largest-norm cross
+    product of rows of (P - lam I) (the null direction of that rank-2
+    matrix). No iterative eigh -- this runs on the per-frame refit path.
+    """
+    q = jnp.trace(P, axis1=-2, axis2=-1) / 3.0
+    A = P - q[..., None, None] * jnp.eye(3, dtype=P.dtype)
+    p2 = jnp.sum(A * A, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(A / p[..., None, None])
+    phi = jnp.arccos(jnp.clip(detB / 2.0, -1.0, 1.0)) / 3.0
+    # Eigenvalues are q + 2p cos(phi + 2k pi/3); k=1 (phi + 2pi/3) is smallest.
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    B = P - lam[..., None, None] * jnp.eye(3, dtype=P.dtype)
+    c01 = jnp.cross(B[..., 0, :], B[..., 1, :])
+    c02 = jnp.cross(B[..., 0, :], B[..., 2, :])
+    c12 = jnp.cross(B[..., 1, :], B[..., 2, :])
+    cands = jnp.stack([c01, c02, c12], axis=-2)          # (..., 3, 3)
+    nrm = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(nrm, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
+def fit_essential_refit(rays1: jnp.ndarray, rays2: jnp.ndarray,
+                        weights: jnp.ndarray) -> jnp.ndarray:
+    """Exact-quality smallest-eigenvector fit WITHOUT eigh (refit path).
+
+    Rayleigh-Ritz: shifted-Cholesky inverse iteration on a 3-COLUMN block
+    captures the SPAN of the bottom eigenvectors even when their eigenvalues
+    cluster (the near-pure-translation case where single-vector inverse
+    iteration returns a mixture -- see `ransac_essential`); the projected
+    3x3 eigenproblem V^T M V then separates them exactly in closed form.
+    A 9x9 eigh lowers to an iterative Jacobi loop on TPU (~0.5 ms on v5e,
+    measured as the r2 bench drop 872->580 frames/s); this is three
+    triangular solves and a closed-form 3x3 -- restoring the eigh-free frame
+    while keeping the eigh's clustered-eigenvalue correctness
+    (tests/test_geometry.py::test_refit_matches_eigh*).
+    """
+    a = essential_rows(rays1, rays2)
+    M = jnp.einsum("...ni,...nj->...ij", a * weights[..., None], a)
+    scale = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / 9.0 + 1e-12
+    Mn = M / scale
+    L = jnp.linalg.cholesky(Mn + 1e-5 * jnp.eye(9, dtype=M.dtype))
+    # Fixed full-rank start: 3 columns spanning generic directions.
+    V = jnp.broadcast_to(
+        jnp.asarray(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [0, 1, 1],
+             [1, 0, 1], [1, -1, 0], [0, 1, -1], [1, 1, 1]], M.dtype) / 3.0,
+        M.shape[:-2] + (9, 3))
+    for _ in range(2):
+        Y = jax.scipy.linalg.solve_triangular(L, V, lower=True)
+        V = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), Y, lower=False)
+        # Orthonormalize (3-col Gram-Schmidt, closed form) to keep the block
+        # well conditioned across iterations.
+        q0 = V[..., :, 0]
+        q0 = q0 / jnp.maximum(jnp.linalg.norm(q0, axis=-1, keepdims=True), 1e-30)
+        q1 = V[..., :, 1] - jnp.sum(q0 * V[..., :, 1], axis=-1, keepdims=True) * q0
+        q1 = q1 / jnp.maximum(jnp.linalg.norm(q1, axis=-1, keepdims=True), 1e-30)
+        q2 = (V[..., :, 2]
+              - jnp.sum(q0 * V[..., :, 2], axis=-1, keepdims=True) * q0
+              - jnp.sum(q1 * V[..., :, 2], axis=-1, keepdims=True) * q1)
+        q2 = q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-30)
+        V = jnp.stack([q0, q1, q2], axis=-1)
+    P = jnp.einsum("...ir,...ij,...js->...rs", V, Mn, V)   # (..., 3, 3)
+    c = _eigvec_smallest_sym3(P)
+    e = jnp.einsum("...ir,...r->...i", V, c)
+    E = e.reshape(e.shape[:-1] + (3, 3))
+    return E / jnp.maximum(jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-12)
+
+
 def _sym_pack(G: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) symmetric -> (..., 6) [G00, G11, G22, 2G01, 2G02, 2G12]."""
     return jnp.stack([G[..., 0, 0], G[..., 1, 1], G[..., 2, 2],

@@ -26,8 +26,8 @@ from sosvo.geometry.essential import (
     decompose_essential,
     epipolar_residual_angle,
     epipolar_residual_sin_hyps,
-    fit_essential,
     fit_essential_fast,
+    fit_essential_refit,
 )
 
 
@@ -217,14 +217,17 @@ def ransac_essential(
     best, inl, _ = _select_best(res, valid, threshold)
 
     w = inl.astype(rays1.dtype)
-    # Refit stays on the EXACT eigh: near pure translation the normal
-    # matrix's two smallest eigenvalues cluster around the inverse
-    # iteration's eps shift, and the fast fit then returns a mix of the two
-    # eigenvectors (measured: 53/256 inliers recovered vs 256/256 on a
-    # noise-free translation-only case). The hypothesis batch can afford
-    # that failure mode -- bad hypotheses just lose the vote -- the refit
-    # cannot.
-    E_refit = fit_essential(rays1, rays2, w)
+    # Refit needs EXACT smallest-eigenvector quality: near pure translation
+    # the normal matrix's two smallest eigenvalues cluster around the inverse
+    # iteration's eps shift, and the single-vector fast fit then returns a
+    # mix of the two eigenvectors (measured: 53/256 inliers recovered vs
+    # 256/256 on a noise-free translation-only case). The hypothesis batch
+    # can afford that failure mode -- bad hypotheses just lose the vote --
+    # the refit cannot. `fit_essential_refit` is the eigh-free Rayleigh-Ritz
+    # subspace fit with the same clustered-eigenvalue behavior as eigh at a
+    # fraction of its TPU cost (a single 9x9 eigh in-scan cost ~0.5 ms/frame,
+    # the r2 872->580 frames/s bench regression).
+    E_refit = fit_essential_refit(rays1, rays2, w)
     res_f = epipolar_residual_angle(E_refit, rays1, rays2)
     inl_f = (res_f < threshold) & valid
     count_f = jnp.sum(inl_f.astype(jnp.int32))

@@ -302,3 +302,39 @@ def test_refine_bearings_analytic_jacobian_matches_autodiff():
     T_ref = refine_jacfwd(T0)
     T_new = refine_pose_bearings(T0, pts, rays, w)
     assert float(jnp.max(jnp.abs(T_new - T_ref))) < 1e-5
+
+
+def test_refit_matches_eigh_general():
+    """Rayleigh-Ritz subspace refit == exact eigh fit on general motion."""
+    from sosvo.geometry.essential import fit_essential, fit_essential_refit
+
+    R = so3_exp(jnp.array([0.05, -0.1, 0.3]))
+    t = jnp.array([0.2, 0.1, -0.05])
+    for seed in range(4):
+        r1, r2 = _random_ray_pairs(jax.random.PRNGKey(80 + seed), 64, R, t)
+        w = jnp.ones(64)
+        E_eigh = fit_essential(r1, r2, w)
+        E_sub = fit_essential_refit(r1, r2, w)
+        res = epipolar_residual_angle(E_sub, r1, r2)
+        res_e = epipolar_residual_angle(E_eigh, r1, r2)
+        assert float(jnp.max(res)) < float(jnp.max(res_e)) + 1e-5
+
+
+def test_refit_matches_eigh_pure_translation():
+    """The clustered-eigenvalue case that breaks the single-vector fast fit:
+    pure translation. The subspace refit must retain eigh's exactness
+    (this is why the refit is not `fit_essential_fast`)."""
+    from sosvo.geometry.essential import (
+        fit_essential_fast,
+        fit_essential_refit,
+    )
+
+    for t in (jnp.array([0.05, 0.02, 0.0]), jnp.array([0.0, 0.0, 0.1])):
+        r1, r2 = _random_ray_pairs(jax.random.PRNGKey(90), 256, jnp.eye(3), t)
+        w = jnp.ones(256)
+        res_sub = epipolar_residual_angle(fit_essential_refit(r1, r2, w), r1, r2)
+        res_fast = epipolar_residual_angle(fit_essential_fast(r1, r2, w), r1, r2)
+        # subspace: every pair an inlier at the pipeline threshold
+        assert float(jnp.max(res_sub)) < 5e-3, float(jnp.max(res_sub))
+        # and it genuinely fixes a failure the fast fit HAS on this data
+        assert float(jnp.max(res_fast)) > float(jnp.max(res_sub))

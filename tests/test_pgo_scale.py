@@ -115,3 +115,44 @@ def test_time_sharded_matches_dense():
                                atol=3e-3)
     err = np.abs(np.asarray(res.X) - np.asarray(X_gt)).max()
     assert err < 2e-2, err
+
+
+def test_time_sharded_robust_matches_dense():
+    """Robust (DCS) time-sharded solve == robust dense solve on a graph with
+    one gross outlier loop edge; both must reject it."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest sets XLA_FLAGS)")
+    from sosvo.dist.mesh import MODEL_AXIS, model_mesh
+
+    n, d = 32, 8
+    X_gt, X0, odo, loop = _make_loopy_graph(n, e_loop=8, seed=5, noise=0.02)
+    ei, ej, T_odo = odo
+    li, lj, T_loop = loop
+    # Corrupt the last loop edge with a gross bogus measurement.
+    bogus = se3_exp(jnp.asarray([0.3, -0.25, 0.2, 0.5, -0.4, 0.3]))
+    T_loop = T_loop.at[-1].set(bogus @ T_loop[-1])
+    loop = (li, lj, T_loop)
+
+    g_flat = _flat_graph(n, X0, odo, loop)
+    dense = jax.jit(lambda g: pgo_solve(
+        g, iters=8, robust="dcs", robust_delta=0.05))(g_flat)
+
+    w_odo = jnp.ones(n, jnp.float32).at[n - 1].set(0.0)
+    T_odo_slots = jnp.concatenate([T_odo, jnp.eye(4, dtype=jnp.float32)[None]])
+    g_time = TimeShardedGraph(
+        X=X0, node_valid=jnp.ones(n, bool),
+        T_odo=T_odo_slots, w_odo=w_odo,
+        loop_i=li, loop_j=lj, T_loop=T_loop,
+        w_loop=jnp.ones(li.shape[0], jnp.float32),
+    )
+    mesh = model_mesh(d)
+    res = pgo_solve_time_sharded(mesh, MODEL_AXIS, g_time, iters=8, cg_iters=60,
+                                 robust="dcs", robust_delta=0.05)
+
+    np.testing.assert_allclose(np.asarray(res.cost0), np.asarray(dense.cost0),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.X), np.asarray(dense.X),
+                               atol=3e-3)
+    # The outlier edge must not corrupt the solution (DCS rejects it).
+    err = np.abs(np.asarray(res.X) - np.asarray(X_gt)).max()
+    assert err < 2e-2, err
