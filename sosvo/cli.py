@@ -42,6 +42,10 @@ def main(argv=None) -> int:
                     help="pose-graph loop closing at the end (or set "
                          "pipeline.pose_graph in the config, as c3 does)")
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
+    ap.add_argument("--verify-sharded", action="store_true",
+                    help="with dist.model_parallel > 1: also run the "
+                         "single-device replay and record the sharded-vs-"
+                         "single trajectory difference in report.json")
     ap.add_argument("--viz", action="store_true",
                     help="write visualization artifacts to --out: trajectory "
                          "plot, 3D landmark map + PLY point cloud (ba mode), "
@@ -86,7 +90,9 @@ def main(argv=None) -> int:
     source = args.source or ("images" if cfg.mode == "images" else "obs")
     rig = default_rig()
     scene = make_scene(jax.random.PRNGKey(0), n_frames=n_frames, n_landmarks=n_landmarks)
-    if source == "images":
+    if cfg.dist.data_parallel > 1:
+        obs = None  # built per-sequence in the batched branch below
+    elif source == "images":
         # Full frontend path (config c2): ray-cast the analytic room through
         # the exact sensor model, then detect/describe/match from pixels.
         from sosvo.frontend.image_frontend import build_frontend_luts, extract_observations
@@ -104,40 +110,99 @@ def main(argv=None) -> int:
         obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
                                pixel_noise=pixel_noise, desc_flip_prob=desc_flip)
 
-    if args.mode == "ba":
-        state0 = init_ba_state(cfg, jax.random.PRNGKey(2), T0=scene.poses[0])
-        replay = jax.jit(lambda s, o: run_replay_ba(rig, cfg, s, o))
-        get_T = lambda o: o.vo.T_world
-        get_vo = lambda o: o.vo
-    else:
-        state0 = init_track_state(K, jax.random.PRNGKey(2), T0=scene.poses[0])
-        replay = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))
-        get_T = lambda o: o.T_world
-        get_vo = lambda o: o
+    # --- distributed execution (SURVEY.md P1-DP / P2-TP; configs c4/c5) ---
+    # data_parallel > 1: S independent sequences batched on the "data" mesh
+    # axis (c4). model_parallel > 1: every keyframe BA solve landmark-sharded
+    # over the "model" axis inside the replay scan (c5). Either mesh clamps
+    # to the visible device count (one real TPU chip here; use
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 --platform cpu for
+    # the virtual mesh, SURVEY.md section 4.3).
+    n_dev = len(jax.devices())
+    dp = min(cfg.dist.data_parallel, n_dev)
+    mp = min(cfg.dist.model_parallel, n_dev)
+    batched = cfg.dist.data_parallel > 1
+    S = int(run.get("n_sequences", cfg.dist.data_parallel)) if batched else 1
+    while batched and S % dp != 0:
+        dp -= 1  # mesh axis must divide the sequence count
 
+    if batched:
+        # c4: S sequences in lockstep (f2f pipeline), sequence axis sharded.
+        from sosvo.dist.mesh import data_mesh
+        from sosvo.vo.batched import (init_batched_states, run_replay_batched,
+                                      shard_batched_inputs)
+
+        assert source == "obs", "batched replay is observation-mode (c4)"
+        keys = jax.random.split(jax.random.PRNGKey(0), S)
+        scenes = [make_scene(kk, n_frames=n_frames, n_landmarks=n_landmarks)
+                  for kk in keys]
+        obs = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[observe_sequence(rig, sc, K, kk, pixel_noise=pixel_noise,
+                               desc_flip_prob=desc_flip)
+              for sc, kk in zip(scenes, keys)])
+        gt_poses = jnp.stack([sc.poses for sc in scenes])  # (S, F, 4, 4)
+        state0 = init_batched_states(S, K, jax.random.PRNGKey(2),
+                                     T0=gt_poses[:, 0])
+        mesh = data_mesh(dp)
+        state0, obs = shard_batched_inputs(mesh, state0, obs)
+        replay = jax.jit(lambda s, o: run_replay_batched(rig, cfg, s, o))
+        get_T = lambda o: o.T_world                       # (S, F, 4, 4)
+        get_vo = lambda o: jax.tree.map(lambda x: x[0], o)  # log sequence 0
+        slice_obs = lambda f, hi: jax.tree.map(lambda x: x[:, f:hi], obs)
+    else:
+        gt_poses = scene.poses
+        slice_obs = lambda f, hi: jax.tree.map(lambda x: x[f:hi], obs)
+        if args.mode == "ba":
+            state0 = init_ba_state(cfg, jax.random.PRNGKey(2), T0=scene.poses[0])
+            if cfg.dist.model_parallel > 1:
+                from sosvo.dist.mesh import model_mesh
+                from sosvo.dist.replay_dist import run_replay_ba_sharded
+
+                while cfg.ba.max_landmarks % mp != 0:
+                    mp -= 1  # model axis must divide the landmark capacity
+                mesh = model_mesh(mp)
+                replay = jax.jit(
+                    lambda s, o: run_replay_ba_sharded(mesh, rig, cfg, s, o))
+            else:
+                replay = jax.jit(lambda s, o: run_replay_ba(rig, cfg, s, o))
+            get_T = lambda o: o.vo.T_world
+            get_vo = lambda o: o.vo
+        else:
+            state0 = init_track_state(K, jax.random.PRNGKey(2), T0=scene.poses[0])
+            replay = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))
+            get_T = lambda o: o.T_world
+            get_vo = lambda o: o
+
+    fax = 1 if batched else 0  # the frame axis of stacked trajectories
     start_frame = 0
     state = state0
+    traj_prefix = np.zeros((S, 0, 4, 4) if batched else (0, 4, 4), np.float32)
     if args.resume:
         step = latest_step(ckpt_dir)
         if step is not None:
             state = restore_state(ckpt_dir, step, state0)
             start_frame = step
+            # The ESTIMATED trajectory up to the checkpoint, saved alongside
+            # the state pytree -- never the scene's ground-truth poses, which
+            # must not leak into any estimation path (PGO below consumes the
+            # full estimated trajectory).
+            traj_prefix = np.load(ckpt_dir / f"traj_{step:08d}.npy")
             print(f"[sosvo] resumed from checkpoint at frame {step}")
 
     chunk = max(1, args.ckpt_every)
-    all_T = []
+    all_T = [traj_prefix]
     t0 = time.perf_counter()
     f = start_frame
     append = args.resume and start_frame > 0
     while f < n_frames:
         hi = min(f + chunk, n_frames)
-        obs_chunk = jax.tree.map(lambda x: x[f:hi], obs)
-        state, outs = jax.block_until_ready(replay(state, obs_chunk))
+        state, outs = jax.block_until_ready(replay(state, slice_obs(f, hi)))
         vo = get_vo(outs)
         all_T.append(np.asarray(get_T(outs)))
         write_jsonl(log_path, stepoutput_rows(vo, t_offset=f), append=append)
         append = True
         save_state(ckpt_dir, hi, state)
+        np.save(ckpt_dir / f"traj_{hi:08d}.npy", np.concatenate(all_T, axis=fax))
         if 0 <= args.fault_inject < hi:
             print(f"[sosvo] fault injection: dying after frame {hi}")
             sys.stdout.flush()
@@ -146,25 +211,35 @@ def main(argv=None) -> int:
         f = hi
     wall = time.perf_counter() - t0
 
-    T_est = jnp.asarray(np.concatenate(all_T, axis=0))
-    gt = scene.poses[start_frame:]
+    # Full ESTIMATED trajectory (checkpointed prefix + this run's frames):
+    # identical to the uninterrupted run's by the resume-exactness guarantee,
+    # so every downstream consumer (PGO, ATE) behaves as if never interrupted.
+    T_est = jnp.asarray(np.concatenate(all_T, axis=fax))
+    T_vo = T_est  # pre-PGO trajectory (the sharded-vs-single comparison point)
+    gt = gt_poses
     n_loops = 0
-    if args.pgo or cfg.pose_graph:
-        T_full = T_est if start_frame == 0 else jnp.concatenate(
-            [scene.poses[:start_frame], T_est])
-        T_full, n_loops = pgo_refine_trajectory(
-            rig, cfg, obs, T_full,
+    if (args.pgo or cfg.pose_graph) and not batched:
+        T_est, n_loops = pgo_refine_trajectory(
+            rig, cfg, obs, T_est,
             min_inliers=cfg.loop_min_inliers,
             max_candidates=cfg.loop_candidates or None,
             robust=cfg.pgo_robust, robust_delta=cfg.pgo_robust_delta)
-        T_est = T_full[start_frame:]
         n_loops = int(n_loops)
 
-    rmse, _ = ate_rmse(T_est[1:, :3, 3], gt[1:, :3, 3])
-    if T_est.shape[0] > 2:
-        t_rpe, r_rpe = rpe(T_est[1:], gt[1:])
-    else:  # a resumed tail can be a single pose pair; RPE needs >= 2
+    if batched:
+        ates = [float(ate_rmse(T_est[s, 1:, :3, 3], gt[s, 1:, :3, 3])[0])
+                for s in range(S)]
+        rmse = float(np.sqrt(np.mean(np.square(ates))))
         t_rpe = r_rpe = jnp.float32(0.0)
+        T_est0, gt0 = T_est[0], gt[0]
+        if n_frames > 2:
+            t_rpe, r_rpe = rpe(T_est0[1:], gt0[1:])
+    else:
+        rmse, _ = ate_rmse(T_est[1:, :3, 3], gt[1:, :3, 3])
+        if T_est.shape[0] > 2:
+            t_rpe, r_rpe = rpe(T_est[1:], gt[1:])
+        else:  # a 2-frame run is a single pose pair; RPE needs >= 2
+            t_rpe = r_rpe = jnp.float32(0.0)
     done = n_frames - start_frame
     report = {
         "config": args.config,
@@ -172,12 +247,27 @@ def main(argv=None) -> int:
         "ate_rmse_m": round(float(rmse), 6),
         "rpe_t_m": round(float(t_rpe), 6),
         "rpe_r_rad": round(float(r_rpe), 6),
-        "frames_per_s": round(done / wall, 2),
+        "frames_per_s": round(done * (S if batched else 1) / wall, 2),
         "wall_s": round(wall, 2),
-        "mode": args.mode,
+        "mode": "batched-f2f" if batched else args.mode,
         "pgo_loops": n_loops,
         "device": str(jax.devices()[0]),
     }
+    if batched:
+        report["n_sequences"] = S
+        report["mesh"] = {"data": dp}
+        report["ate_per_sequence"] = [round(a, 6) for a in ates]
+    if not batched and cfg.dist.model_parallel > 1 and args.mode == "ba":
+        report["mesh"] = {"model": mp}
+        if args.verify_sharded:
+            # Single-device replay of the identical inputs: the sharded
+            # (psum-reduced) solves must reproduce it to f32 tolerance.
+            _, outs_1 = jax.block_until_ready(jax.jit(
+                lambda s, o: run_replay_ba(rig, cfg, s, o))(state0, obs))
+            diff = float(jnp.max(jnp.abs(T_vo - outs_1.vo.T_world)))
+            rmse_1, _ = ate_rmse(outs_1.vo.T_world[1:, :3, 3], gt[1:, :3, 3])
+            report["sharded_vs_single_max_pose_diff"] = diff
+            report["ate_rmse_single_device"] = round(float(rmse_1), 6)
     (out / "report.json").write_text(json.dumps(report, indent=2))
 
     if args.viz:
@@ -185,10 +275,13 @@ def main(argv=None) -> int:
         from sosvo.eval.viz import (keypoint_overlay, match_overlay, plot_map_3d,
                                     save_ply)
 
-        plot_trajectories(np.asarray(T_est), np.asarray(gt), out / "trajectory.png",
+        T_plot = T_est[0] if batched else T_est
+        gt_plot = gt[0] if batched else gt
+        plot_trajectories(np.asarray(T_plot), np.asarray(gt_plot),
+                          out / "trajectory.png",
                           title=f"{Path(args.config).stem}: ATE {float(rmse):.4f} m")
         artifacts = ["trajectory.png"]
-        if args.mode == "ba":
+        if args.mode == "ba" and not batched:
             lm = np.asarray(state.map.lm_pos)
             lv = np.asarray(state.map.lm_valid)
             n_pts = save_ply(out / "map.ply", lm, valid=lv)

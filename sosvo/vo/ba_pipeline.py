@@ -53,8 +53,13 @@ def step_ba(
     cfg: PipelineConfig,
     state: BAState,
     obs: FrameObservations,
+    ba_fn=None,
 ) -> tuple[BAState, BAStepOutput]:
-    """One frame with keyframe/BA logic. Pure; jit/scan-safe."""
+    """One frame with keyframe/BA logic. Pure; jit/scan-safe.
+
+    `ba_fn` (MapState -> (MapState, cost)) overrides the window solve --
+    the distributed replay (`sosvo/dist/replay_dist.py`) passes a
+    shard_map'd landmark-sharded Schur solve here (config c5)."""
     track, out, feats = step_full(rig, cfg, state.track, obs)
     frame = track.frame_idx - 1  # index of the frame just processed
 
@@ -69,6 +74,8 @@ def step_ba(
         )
         # Skip BA until the window has >= 2 keyframes (nothing to adjust).
         def ba(mm):
+            if ba_fn is not None:
+                return ba_fn(mm)
             mm2, cost = run_window_ba(rig, mm, iters=cfg.ba.iters,
                                       huber_delta=cfg.ba.huber_delta,
                                       use_pallas=cfg.ba.use_pallas_schur)
@@ -98,10 +105,11 @@ def run_replay_ba(
     cfg: PipelineConfig,
     state: BAState,
     obs_seq: FrameObservations,
+    ba_fn=None,
 ) -> tuple[BAState, BAStepOutput]:
     """Replay with windowed BA; outputs stacked per frame."""
 
     def body(s, o):
-        return step_ba(rig, cfg, s, o)
+        return step_ba(rig, cfg, s, o, ba_fn=ba_fn)
 
     return jax.lax.scan(body, state, obs_seq)

@@ -60,3 +60,27 @@ def test_cli_fault_resume(tmp_path):
     a = (out_a / "frames.jsonl").read_text()
     b = (out_b / "frames.jsonl").read_text()
     assert a == b
+
+
+def test_cli_fault_resume_pgo(tmp_path):
+    """Resume + PGO must consume the checkpointed ESTIMATED prefix, never
+    ground truth: the resumed run's PGO report must equal the uninterrupted
+    run's exactly (same trajectory in, same loop edges, same ATE)."""
+    import json
+
+    out_a = tmp_path / "full"
+    out_b = tmp_path / "faulted"
+    base = [sys.executable, "-m", "sosvo.cli", "--config", "configs/c1_cpu_smoke.json",
+            "--platform", "cpu", "--mode", "f2f", "--ckpt-every", "4", "--pgo"]
+    r = subprocess.run(base + ["--out", str(out_a)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(base + ["--out", str(out_b), "--fault-inject", "5"],
+                       capture_output=True, text=True)
+    assert r.returncode == 42, (r.returncode, r.stderr[-2000:])
+    r = subprocess.run(base + ["--out", str(out_b), "--resume"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep_a = json.loads((out_a / "report.json").read_text())
+    rep_b = json.loads((out_b / "report.json").read_text())
+    assert rep_a["pgo_loops"] == rep_b["pgo_loops"]
+    assert rep_a["ate_rmse_m"] == rep_b["ate_rmse_m"], (rep_a, rep_b)
