@@ -42,6 +42,15 @@ def main(argv=None) -> int:
                     help="pose-graph loop closing at the end (or set "
                          "pipeline.pose_graph in the config, as c3 does)")
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
+    ap.add_argument("--sequence", default=None,
+                    help="replay a STAGED capture (.npz from "
+                         "scripts/stage_sequence.py: real image files + "
+                         "optional TUM ground truth) instead of the synthetic "
+                         "world; implies --source images")
+    ap.add_argument("--rig", default=None,
+                    help="rig calibration JSON (sosvo.sensor.calib_io) for "
+                         "--sequence; default: the built-in rig at the "
+                         "sequence's image size")
     ap.add_argument("--verify-sharded", action="store_true",
                     help="with dist.model_parallel > 1: also run the "
                          "single-device replay and record the sharded-vs-"
@@ -87,11 +96,38 @@ def main(argv=None) -> int:
     ckpt_dir = out / "ckpt"
     log_path = out / "frames.jsonl"
 
-    source = args.source or ("images" if cfg.mode == "images" else "obs")
+    source = "images" if args.sequence else (
+        args.source or ("images" if cfg.mode == "images" else "obs"))
     rig = default_rig()
     scene = make_scene(jax.random.PRNGKey(0), n_frames=n_frames, n_landmarks=n_landmarks)
+    gt_available = True
     if cfg.dist.data_parallel > 1:
         obs = None  # built per-sequence in the batched branch below
+    elif args.sequence:
+        # Staged real capture: image files -> scripts/stage_sequence.py ->
+        # .npz bundle -> full frontend (SURVEY.md C17 real-rig ingestion).
+        from sosvo.data.sequence import load_sequence
+        from sosvo.frontend.image_frontend import build_frontend_luts, extract_observations
+
+        seq = load_sequence(args.sequence)
+        assert seq.images is not None, f"{args.sequence} has no image frames"
+        n_frames = int(seq.images.shape[0])
+        assert seq.images.shape[1] == seq.images.shape[2], "omni frames must be square"
+        if args.rig:
+            from sosvo.sensor.calib_io import load_rig
+            rig = load_rig(args.rig)
+        else:
+            rig = default_rig(image_size=int(seq.images.shape[1]))
+        gt_available = seq.poses is not None
+        if gt_available:
+            scene = scene._replace(poses=jnp.asarray(seq.poses))
+        else:
+            scene = scene._replace(poses=jnp.tile(
+                jnp.eye(4, dtype=jnp.float32), (n_frames, 1, 1)))
+        imgs = jnp.asarray(seq.images)
+        luts = build_frontend_luts(rig, cfg.frontend)
+        extract = jax.jit(jax.vmap(lambda im: extract_observations(rig, luts, cfg.frontend, im)))
+        obs = extract(imgs)
     elif source == "images":
         # Full frontend path (config c2): ray-cast the analytic room through
         # the exact sensor model, then detect/describe/match from pixels.
@@ -234,6 +270,9 @@ def main(argv=None) -> int:
         T_est0, gt0 = T_est[0], gt[0]
         if n_frames > 2:
             t_rpe, r_rpe = rpe(T_est0[1:], gt0[1:])
+    elif not gt_available:
+        # Staged capture without ground truth: no ATE/RPE to report.
+        rmse = t_rpe = r_rpe = float("nan")
     else:
         rmse, _ = ate_rmse(T_est[1:, :3, 3], gt[1:, :3, 3])
         if T_est.shape[0] > 2:
@@ -241,12 +280,16 @@ def main(argv=None) -> int:
         else:  # a 2-frame run is a single pose pair; RPE needs >= 2
             t_rpe = r_rpe = jnp.float32(0.0)
     done = n_frames - start_frame
+
+    def _round(x):
+        return None if np.isnan(float(x)) else round(float(x), 6)
+
     report = {
         "config": args.config,
         "frames": done,
-        "ate_rmse_m": round(float(rmse), 6),
-        "rpe_t_m": round(float(t_rpe), 6),
-        "rpe_r_rad": round(float(r_rpe), 6),
+        "ate_rmse_m": _round(rmse),
+        "rpe_t_m": _round(t_rpe),
+        "rpe_r_rad": _round(r_rpe),
         "frames_per_s": round(done * (S if batched else 1) / wall, 2),
         "wall_s": round(wall, 2),
         "mode": "batched-f2f" if batched else args.mode,
