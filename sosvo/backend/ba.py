@@ -75,10 +75,20 @@ class BAResult(NamedTuple):
 
 
 def _pair_residual(X_w, p_l, rays_wl, w_wl, viewpoints):
-    """(6,) weighted bearing residual of landmark l in keyframe w (2 views x 3)."""
+    """(6,) weighted bearing residual of landmark l in keyframe w (2 views x 3).
+
+    Normalization is `d * rsqrt(|d|^2 + eps)` -- smooth at d = 0 -- NOT
+    `d / max(|d|, eps)`: `lax.max`'s JVP is multiply-based, so the NaN from
+    d/dx |d| at 0 survives the max and poisons the (weight-0) Jacobian of
+    every empty landmark slot seen from a keyframe sitting at a viewpoint.
+    Trajectories start at the world origin (= the top viewpoint), so with the
+    old form EVERY window containing keyframe 0 plus any unused landmark slot
+    produced NaN normal equations and LM silently rejected all steps
+    (tests/test_ba.py::test_ba_window_with_origin_keyframe_and_empty_slots).
+    """
     p_rig = transform_points(X_w, p_l)
     d = p_rig[None, :] - viewpoints                     # (2, 3)
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-18)
     r = (d - rays_wl) * w_wl[:, None]                   # (2, 3)
     return r.reshape(6)
 

@@ -69,13 +69,16 @@ def make_landmarks(key: jax.Array, n: int, r_min: float = 1.5, r_max: float = 6.
 
 
 def make_trajectory(n_frames: int, radius: float = 0.8, height_amp: float = 0.15,
-                    yaw_per_frame: float = 0.03) -> jnp.ndarray:
+                    yaw_per_frame: float = 0.03, times=None) -> jnp.ndarray:
     """Smooth closed-loop-ish trajectory: circular arc + gentle bobbing + yaw.
 
     Returns (F, 4, 4) world-from-rig poses. Deterministic (no RNG) so tests
-    can rely on exact values.
+    can rely on exact values. `times` (F,) warps the curve parameter --
+    non-uniform spacing yields a variable-SPEED trajectory along the same
+    path (used by the adaptive-keyframing tests).
     """
-    t = jnp.arange(n_frames, dtype=jnp.float32)
+    t = (jnp.arange(n_frames, dtype=jnp.float32) if times is None
+         else jnp.asarray(times, jnp.float32))
     ang = t * yaw_per_frame * 2.0
     pos = jnp.stack(
         [radius * jnp.cos(ang) - radius, radius * jnp.sin(ang), height_amp * jnp.sin(t * 0.11)],

@@ -89,7 +89,17 @@ class PipelineConfig:
     max_ray_gap: float = 0.08
     refine_iters: int = 6
     use_essential_gate: bool = True
-    keyframe_every: int = 4          # keyframe cadence (frames)
+    keyframe_every: int = 4          # keyframe cadence (frames; stride mode)
+    keyframe_mode: str = "stride"    # "stride" | "adaptive" (motion-triggered:
+                                     # a frame becomes a keyframe when motion
+                                     # since the last keyframe crosses a
+                                     # threshold -- dense sampling through
+                                     # fast/turning segments, sparse when
+                                     # hovering; SURVEY.md C15, COMPAT #11)
+    kf_min_gap: int = 1              # frames that must pass before the next kf
+    kf_max_gap: int = 12             # force a keyframe after this many frames
+    kf_trans_thresh: float = 0.06    # translation since last keyframe (m)
+    kf_rot_thresh: float = 0.10      # rotation since last keyframe (rad)
     mode: str = "observations"       # "observations" (c1) or "images" (c2+)
     pose_graph: bool = False         # run PGO loop closing after replay (c3)
     loop_candidates: int = 0         # loop-detection candidate pairs: 0 = all

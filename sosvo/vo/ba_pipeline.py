@@ -63,7 +63,24 @@ def step_ba(
     track, out, feats = step_full(rig, cfg, state.track, obs)
     frame = track.frame_idx - 1  # index of the frame just processed
 
-    is_kf = jnp.mod(frame, cfg.keyframe_every) == 0
+    if cfg.keyframe_mode == "adaptive":
+        # Motion-adaptive trigger (SURVEY.md C15 keyframe logic; COMPAT #11):
+        # keyframe when accumulated motion since the LAST keyframe crosses a
+        # translation/rotation threshold, with a max-gap forcing function so
+        # a hovering rig still refreshes its window. Mask-disciplined: pure
+        # arithmetic on the ring state, no data-dependent shapes.
+        from sosvo.geom.lie import geodesic_angle
+
+        X_last = state.map.kf_X[state.map.head]          # rig-from-world
+        rel = X_last @ track.T_world                     # last-rig <- now-rig
+        trans = jnp.linalg.norm(rel[:3, 3])
+        rot = geodesic_angle(rel[:3, :3], jnp.eye(3, dtype=rel.dtype))
+        gap = frame - state.map.kf_frame[state.map.head]
+        moved = (trans > cfg.kf_trans_thresh) | (rot > cfg.kf_rot_thresh)
+        is_kf = (state.map.n_kf == 0) | (
+            (gap >= cfg.kf_min_gap) & (moved | (gap >= cfg.kf_max_gap)))
+    else:
+        is_kf = jnp.mod(frame, cfg.keyframe_every) == 0
 
     def do_keyframe(m: MapState):
         m = insert_keyframe(

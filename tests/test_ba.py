@@ -113,3 +113,37 @@ def test_solve6x6_spd_matches_linalg():
     assert float(jnp.max(jnp.abs(x - x_ref))) < 1e-4
     Hinv = inv6x6_spd(H)
     assert float(jnp.max(jnp.abs(Hinv @ H - jnp.eye(6)))) < 1e-3
+
+
+def test_ba_window_with_origin_keyframe_and_empty_slots():
+    """Regression (r3): a keyframe at the WORLD ORIGIN plus unused landmark
+    slots (lm_pos = 0, weight 0) used to produce NaN normal equations.
+
+    The empty slot sits exactly at the origin keyframe's top viewpoint, and
+    d/dx |d| at d=0 is NaN; `lax.max`'s multiply-based JVP leaked it through
+    the `d / max(|d|, eps)` normalize into (weight-zero!) Jacobian blocks,
+    H_ll went NaN, and every LM step was silently rejected. Since every
+    trajectory starts at the origin, ALL window BA was a no-op while
+    keyframe 0 remained in the window."""
+    win, X_gt, lms = _make_window(jax.random.PRNGKey(6), pose_noise=0.02,
+                                  lm_noise=0.02)
+    # Keyframe 0 exactly at the world origin (rig frame == world frame).
+    X = win.X.at[0].set(jnp.eye(4, dtype=jnp.float32))
+    # Append 8 empty landmark slots at the origin, zero-weighted everywhere.
+    lms0 = jnp.concatenate([win.landmarks, jnp.zeros((8, 3), jnp.float32)])
+    rays = jnp.concatenate([win.rays, jnp.zeros((W, 8, 2, 3), jnp.float32)], axis=1)
+    weights = jnp.concatenate([win.weights, jnp.zeros((W, 8, 2), jnp.float32)], axis=1)
+    win = win._replace(X=X, landmarks=lms0, rays=rays, weights=weights)
+
+    res = ba_solve(win, iters=6)
+    assert bool(jnp.isfinite(res.cost)), "BA cost is not finite"
+    assert bool(jnp.all(jnp.isfinite(res.X))), "BA poses are not finite"
+    assert bool(jnp.all(jnp.isfinite(res.landmarks))), "BA landmarks not finite"
+    # The solve must actually make progress (the old behavior silently
+    # rejected every step: cost == cost0, accepted all-False).
+    assert bool(jnp.any(res.accepted)), "all LM steps rejected"
+    assert float(res.cost) < 0.5 * float(res.cost0)
+    # Huber path too (it reduced cost by adjusting only landmarks before).
+    res_h = ba_solve(win, iters=6, huber_delta=0.005)
+    assert bool(jnp.all(jnp.isfinite(res_h.X)))
+    assert float(res_h.cost) < float(res_h.cost0)
