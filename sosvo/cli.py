@@ -255,11 +255,25 @@ def main(argv=None) -> int:
     gt = gt_poses
     n_loops = 0
     if (args.pgo or cfg.pose_graph) and not batched:
-        T_est, n_loops = pgo_refine_trajectory(
-            rig, cfg, obs, T_est,
+        pgo_kwargs = dict(
             min_inliers=cfg.loop_min_inliers,
             max_candidates=cfg.loop_candidates or None,
             robust=cfg.pgo_robust, robust_delta=cfg.pgo_robust_delta)
+        if cfg.dist.pgo_shards > 1:
+            # Long-trajectory mode (SURVEY.md section 5.7): candidate pairs
+            # sharded for detection, keyframe nodes time-sharded for the PGO
+            # solve -- one mesh end to end (sosvo/dist/c3_dist.py). Clamps to
+            # the visible device count (a 1-device mesh on the real chip still
+            # exercises the sharded program).
+            from sosvo.dist.c3_dist import pgo_refine_trajectory_sharded
+            from sosvo.dist.mesh import data_mesh
+
+            shards = min(cfg.dist.pgo_shards, n_dev)
+            T_est, n_loops = pgo_refine_trajectory_sharded(
+                data_mesh(shards), rig, cfg, obs, T_est, **pgo_kwargs)
+        else:
+            T_est, n_loops = pgo_refine_trajectory(rig, cfg, obs, T_est,
+                                                   **pgo_kwargs)
         n_loops = int(n_loops)
 
     if batched:

@@ -74,6 +74,11 @@ class DistConfig:
     model_axis: str = "model"
     data_parallel: int = 1           # sequences in parallel (P1-DP)
     model_parallel: int = 1          # landmark shards (P2-TP)
+    pgo_shards: int = 1              # > 1: loop-candidate pairs AND pose-graph
+                                     # nodes sharded over that many devices for
+                                     # the c3 loop-closing stage (P1-DP
+                                     # detection + P4-SP time-sharded PGO,
+                                     # sosvo/dist/c3_dist.py)
 
 
 @dataclass(frozen=True)
