@@ -37,7 +37,6 @@ def main():
         decompose_essential, epipolar_residual_angle, epipolar_residual_sin,
         epipolar_residual_sin_hyps, essential_rows, fit_essential_fast,
         fit_essential_refit)
-    from sosvo.geometry.ransac import _gumbel_sample_minimal  # noqa: F401
     from sosvo.utils.profiling import time_amortized
 
     K, H = args.k, args.hyps

