@@ -31,17 +31,19 @@ sys.path.insert(0, str(ROOT))
 
 RATIO = 0.8
 
-# Amortized per-phase budgets (ms) on TPU v5e at K=512/H=512 -- measured
-# values x ~1.4 headroom (see BASELINE.md phase table). A phase over budget
-# names the suspect even when the total still squeaks past the ratio gate.
+# Amortized per-phase budgets (ms) on TPU v5e at K=512/H=512 -- r3 measured
+# values (BASELINE.md post-mortem: stereo 0.027, temporal 0.027, tri 0.026,
+# rigid 0.288, refine 0.311, essential 0.454, full 1.004) x ~1.4 headroom.
+# A phase over budget names the suspect even when the total still squeaks
+# past the ratio gate.
 PHASE_BUDGETS_MS = {
-    "stereo_match": 0.06,
-    "temporal_match": 0.06,
-    "triangulate": 0.06,
-    "ransac_rigid": 0.55,
-    "refine": 0.35,
-    "ransac_essential": 0.65,
-    "full_step": 1.60,
+    "stereo_match": 0.04,
+    "temporal_match": 0.04,
+    "triangulate": 0.04,
+    "ransac_rigid": 0.41,
+    "refine": 0.44,
+    "ransac_essential": 0.64,
+    "full_step": 1.40,
 }
 
 
@@ -51,6 +53,14 @@ def best_recorded() -> float:
         try:
             rec = json.loads(Path(p).read_text())
             vals.append(float(rec["parsed"]["value"]))
+        except Exception:
+            pass
+    # The builder-recorded artifact counts too: the gate must hold the line
+    # at the best rate EVER measured, not just the driver's end-of-round one.
+    lp = ROOT / "BENCH_local.json"
+    if lp.exists():
+        try:
+            vals.append(float(json.loads(lp.read_text())["value"]))
         except Exception:
             pass
     return max(vals) if vals else 0.0

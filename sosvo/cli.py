@@ -338,6 +338,20 @@ def main(argv=None) -> int:
                           out / "trajectory.png",
                           title=f"{Path(args.config).stem}: ATE {float(rmse):.4f} m")
         artifacts = ["trajectory.png"]
+        # Interactive single-file 3D viewer (SURVEY.md C19: the reference
+        # inspected trajectories/maps interactively; headless equivalent).
+        from sosvo.eval.html_viewer import export_html_viewer
+
+        export_html_viewer(
+            out / "viewer.html", np.asarray(T_plot),
+            traj_gt=np.asarray(gt_plot) if gt_available else None,
+            landmarks=(np.asarray(state.map.lm_pos)
+                       if args.mode == "ba" and not batched else None),
+            lm_valid=(np.asarray(state.map.lm_valid)
+                      if args.mode == "ba" and not batched else None),
+            ate=None if np.isnan(float(rmse)) else float(rmse),
+            title=Path(args.config).stem)
+        artifacts += ["viewer.html"]
         if args.mode == "ba" and not batched:
             lm = np.asarray(state.map.lm_pos)
             lv = np.asarray(state.map.lm_valid)

@@ -65,7 +65,13 @@ def _chol9(M: jnp.ndarray) -> jnp.ndarray:
         s = M[..., j, j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        # Floor at 1e-12 (not 1e-30): a slightly INDEFINITE input -- e.g. the
+        # Procrustes shift matrix when f32 Newton lands a hair below
+        # lambda_max -- would otherwise give d ~ 1e-15, inv_d ~ 1e15, and the
+        # squared terms of later columns overflow to inf and cascade to NaN
+        # (inf - inf). With the floor, intermediates stay finite and the
+        # inverse-iteration caller is insensitive to the sign/scale noise.
+        d = jnp.sqrt(jnp.maximum(s, 1e-12))
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):

@@ -338,3 +338,28 @@ def test_refit_matches_eigh_pure_translation():
         assert float(jnp.max(res_sub)) < 5e-3, float(jnp.max(res_sub))
         # and it genuinely fixes a failure the fast fit HAS on this data
         assert float(jnp.max(res_fast)) > float(jnp.max(res_sub))
+
+
+def test_umeyama_near_collinear_no_nan():
+    """Regression (r3): Horn/QCP Procrustes on a near-COLLINEAR point set.
+
+    The quaternion matrix N then has a near-degenerate +-lambda_max pair; f32
+    Newton can land a hair below lambda_max, making the inverse-iteration
+    shift matrix slightly indefinite -- the unrolled Cholesky's old 1e-30
+    sqrt floor let inv_d reach ~1e15 and later columns overflow inf -> NaN.
+    Hit in production by ate_rmse on short smooth trajectories."""
+    import numpy as np
+
+    from sosvo.eval.ate import ate_rmse
+    from sosvo.geometry.align import umeyama
+
+    for seed in range(32):
+        k = jax.random.PRNGKey(seed)
+        d = jax.random.normal(k, (3,))
+        d = d / jnp.linalg.norm(d)
+        pts = jnp.linspace(0.0, 0.1, 5)[:, None] * d[None]
+        noisy = pts + 1e-4 * jax.random.normal(jax.random.fold_in(k, 1), (5, 3))
+        T, _ = umeyama(noisy, pts)
+        assert bool(jnp.all(jnp.isfinite(T))), seed
+        r, _ = ate_rmse(noisy, pts)
+        assert np.isfinite(float(r)) and float(r) < 1e-3, (seed, float(r))

@@ -73,3 +73,33 @@ def test_cli_viz_ba_mode(tmp_path):
         assert (out / f).stat().st_size > 200, f
     header = (out / "map.ply").read_text().splitlines()[:3]
     assert header[0] == "ply" and header[2].startswith("element vertex")
+
+
+def test_html_viewer_export(tmp_path):
+    """Interactive single-file viewer (SURVEY.md C19): embeds the data, needs
+    no network, and renders both trajectories + the landmark cloud."""
+    import json
+    import re
+
+    import numpy as np
+
+    from sosvo.eval.html_viewer import export_html_viewer
+
+    F, L = 12, 50
+    traj = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    traj[:, 0, 3] = np.linspace(0, 1, F)
+    gt = traj.copy()
+    gt[:, 1, 3] = 0.01
+    lm = np.random.RandomState(0).randn(L, 3).astype(np.float32)
+    valid = np.ones((L,), bool)
+    valid[::5] = False
+
+    p = export_html_viewer(tmp_path / "v.html", traj, traj_gt=gt,
+                           landmarks=lm, lm_valid=valid, ate=0.0123)
+    text = p.read_text()
+    assert text.startswith("<!DOCTYPE html>") and "</html>" in text
+    assert "http://" not in text and "https://" not in text  # self-contained
+    data = json.loads(re.search(r"const DATA = (\{.*?\});", text).group(1))
+    assert len(data["traj"]) == F and len(data["gt"]) == F
+    assert len(data["lm"]) == int(valid.sum())
+    assert abs(data["ate"] - 0.0123) < 1e-9
