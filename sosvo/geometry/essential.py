@@ -126,15 +126,27 @@ def fit_essential_fast(rays1: jnp.ndarray, rays2: jnp.ndarray,
     batched eigh on TPU, which made the essential hypothesis batch half the
     VO frame cost. The exact eigh fit remains for the final refit.
     """
+    from sosvo.utils import debug
+
     a = essential_rows(rays1, rays2)
     M = jnp.einsum("...ni,...nj->...ij", a * weights[..., None], a)
     scale = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / 9.0 + 1e-12
     eps = 1e-5
-    L = _chol9(M / scale + eps * jnp.eye(9, dtype=M.dtype))
+    Ms = M / scale + eps * jnp.eye(9, dtype=M.dtype)
+    # Under the checkify sanitizer the unrolled form's per-op instrumentation
+    # explodes compile time; fall back to the library kernels there (same
+    # factorization -- see sosvo/utils/debug.py::UNROLLED_SOLVERS).
+    unrolled = debug.UNROLLED_SOLVERS
+    L = _chol9(Ms) if unrolled else jnp.linalg.cholesky(Ms)
     v = jnp.ones(M.shape[:-2] + (9,), M.dtype) / 3.0
 
     for _ in range(iters):
-        v = _chol9_solve(L, v)
+        if unrolled:
+            v = _chol9_solve(L, v)
+        else:
+            y = jax.scipy.linalg.solve_triangular(L, v[..., None], lower=True)
+            v = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L, -1, -2), y, lower=False)[..., 0]
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
 
     E = v.reshape(M.shape[:-2] + (3, 3))
@@ -192,7 +204,9 @@ def fit_essential_refit(rays1: jnp.ndarray, rays2: jnp.ndarray,
     # scalar chain across the batch) but LOSES ~2x for a single instance
     # (batch-1 elementwise chains are pure latency); the library kernel is the
     # right call for this once-per-frame refit.
-    batched = M.ndim > 2
+    from sosvo.utils import debug
+
+    batched = M.ndim > 2 and debug.UNROLLED_SOLVERS
     if batched:
         L = _chol9(Mn + 1e-5 * jnp.eye(9, dtype=M.dtype))
     else:

@@ -114,11 +114,17 @@ def test_checked_step_clean_on_valid_input():
     from sosvo.vo.pipeline import step
     from sosvo.vo.state import init_track_state
 
+    from sosvo.utils.config import FrontendConfig, RansacConfig
+
+    # Tiny shapes: checkify instruments every op, making the COMPILE the cost
+    # driver (measured 35-700 s at K=256/H=512 depending on host load); the
+    # sanitizer semantics are shape-independent (VERDICT r2 weak #8).
     rig = default_rig()
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(frontend=FrontendConfig(max_features=128),
+                         ransac=RansacConfig(n_hyps=128))
     scene = make_scene(jax.random.PRNGKey(40), n_frames=2, n_landmarks=2048)
-    o = observe_frame(rig, scene, jnp.asarray(1), 256, jax.random.PRNGKey(41))
-    st = init_track_state(256, jax.random.PRNGKey(42), T0=scene.poses[0])
+    o = observe_frame(rig, scene, jnp.asarray(1), 128, jax.random.PRNGKey(41))
+    st = init_track_state(128, jax.random.PRNGKey(42), T0=scene.poses[0])
     st, _ = step(rig, cfg, st, o)  # prime with one frame so prev state is real
     err, _ = jax.jit(checked(lambda s, ob: step(rig, cfg, s, ob)))(st, o)
     err.throw()  # raises if any NaN/Inf/OOB fired anywhere in the step
