@@ -84,15 +84,34 @@ def refine_pose_bearings(
                                      huber_delta / jnp.maximum(nrm, 1e-12)))
         w = weights * huber_w
         u = w / nq[:, 0]
-        u2 = u * u
         uw = u * w
 
+        # ALL eight weighted reductions of the normal equations ride ONE
+        # (14, N) x (N, 14) Gram matmul on the MXU: columns are
+        # [u*q | u*d | cross(q,r) | r - d(d.r) | u | uw], and every needed
+        # moment is a block of C^T C --
+        #   S_qq = (uq)^T(uq), S_dd = (ud)^T(ud), s1 = tr S_qq, s0 = u.u,
+        #   m = (uq)^T u, g_w = cross^T uw, g_v = Y^T uw.
+        # Measured perf-NEUTRAL on v5e at K=512 (310 -> 314 us for 6 iters,
+        # within tunnel noise): the iteration's critical path is the 6
+        # sequential dependent GN steps, not the reduction count. Kept for
+        # the smaller jaxpr (one contraction vs 8 einsums per iteration).
+        Y = r - d * jnp.sum(d * r, axis=-1, keepdims=True)
+        C = jnp.concatenate([
+            u[:, None] * q, u[:, None] * d, jnp.cross(q, r), Y,
+            u[:, None], uw[:, None],
+        ], axis=1)                                            # (N, 14)
+        M = jax.lax.dot_general(
+            C, C, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        S_qq = M[0:3, 0:3]
+        S_dd = M[3:6, 3:6]
+        s1 = S_qq[0, 0] + S_qq[1, 1] + S_qq[2, 2]
+        s0 = M[12, 12]
+        m = M[0:3, 12]
+        g_w = M[6:9, 13]
+        g_v = M[9:12, 13]
         eye3 = jnp.eye(3, dtype=T.dtype)
-        S_qq = jnp.einsum("n,ni,nj->ij", u2, q, q)
-        S_dd = jnp.einsum("n,ni,nj->ij", u2, d, d)
-        s1 = jnp.sum(u2 * nq[:, 0] * nq[:, 0])
-        s0 = jnp.sum(u2)
-        m = jnp.einsum("n,ni->i", u2, q)
         zero = jnp.zeros_like(m[0])
         m_hat = jnp.stack([
             jnp.stack([zero, -m[2], m[1]], axis=-1),
@@ -101,8 +120,6 @@ def refine_pose_bearings(
         ], axis=-2)
         H = jnp.block([[s1 * eye3 - S_qq, m_hat],
                        [-m_hat, s0 * eye3 - S_dd]]) + damping * jnp.eye(6, dtype=T.dtype)
-        g_w = jnp.einsum("n,ni->i", uw, jnp.cross(q, r))
-        g_v = jnp.einsum("n,ni->i", uw, r - d * jnp.sum(d * r, axis=-1, keepdims=True))
         g = jnp.concatenate([g_w, g_v])
         delta = -solve6x6_spd(H, g)  # closed form; no LU loop on TPU
         return se3_exp(delta) @ T

@@ -44,7 +44,7 @@ class PanoGeometry(NamedTuple):
     max_elevation: float
     lut_uv: jnp.ndarray   # (H, W, 2) raw-image (u, v) sample coords
     valid: jnp.ndarray    # (H, W) bool: LUT lands inside the view's annulus
-    idx_r0: jnp.ndarray   # (H, W) int32 pair-table row of the (y0; x0, x0+1) tap
+    idx_r0: jnp.ndarray   # (H, W) int32 phase-table row of the (y0; x0) footprint
     fu: jnp.ndarray       # (H, W) f32 horizontal lerp fraction
     fv: jnp.ndarray       # (H, W) f32 vertical lerp fraction
 
@@ -117,21 +117,29 @@ def warp_panorama(image: jnp.ndarray, geom: PanoGeometry) -> jnp.ndarray:
     """Bilinear-sample the raw omni image into the panorama. (H, W) float32.
 
     Equivalent of the reference's `cv2.remap` call. All interpolation
-    arithmetic is baked into the static LUT; the per-frame work is TWO pair
-    gathers + lerps (see the PanoGeometry docstring for why pairs: TPU
-    gather cost is per index, not per byte).
+    arithmetic is baked into the static LUT; the per-frame work is ONE quad
+    gather + lerps. TPU gather cost is ~10 ns per INDEX regardless of fetch
+    width (measured on v5e), so the image is restructured per frame into
+    2x2 QUAD rows (img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]) in two
+    horizontal phase tables; each pano pixel then fetches its full bilinear
+    footprint with a SINGLE index (same `idx_r0` layout as the earlier
+    pair-table scheme, which needed two indices: the y0 and y1 taps).
+    The restructure itself is strided slices + one copy (~2.3 MB), which
+    XLA streams at HBM rate -- negligible next to the gather savings.
     """
-    h, w = image.shape
-    half = w // 2
-    # Two phase tables of horizontal pairs (strided slices are cheap; the
-    # stack keeps pairs contiguous in the minor dim for single-index fetch).
-    even = jnp.stack([image[:, 0::2], image[:, 1::2]], axis=-1)  # (h, w/2, 2)
+    # Rows shifted up by one: down[v] = image[v+1] (last row clamped, never
+    # addressed: the LUT clamps v to <= h-2 + fv).
+    down = jnp.concatenate([image[1:], image[-1:]], axis=0)
+    # Horizontal +1 shifts for the odd x0 phase.
     shift = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
-    odd = jnp.stack([shift[:, 0::2], shift[:, 1::2]], axis=-1)
-    pairs = jnp.concatenate([even.reshape(-1, 2), odd.reshape(-1, 2)])
-    r0 = jnp.take(pairs, geom.idx_r0, axis=0)         # (H, W, 2) y0 tap
-    r1 = jnp.take(pairs, geom.idx_r0 + half, axis=0)  # y1 = y0 + 1 tap
-    v0 = r0[..., 0] * (1.0 - geom.fu) + r0[..., 1] * geom.fu
-    v1 = r1[..., 0] * (1.0 - geom.fu) + r1[..., 1] * geom.fu
+    sdown = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    even = jnp.stack([image[:, 0::2], image[:, 1::2],
+                      down[:, 0::2], down[:, 1::2]], axis=-1)   # (h, w/2, 4)
+    odd = jnp.stack([shift[:, 0::2], shift[:, 1::2],
+                     sdown[:, 0::2], sdown[:, 1::2]], axis=-1)
+    quads = jnp.concatenate([even.reshape(-1, 4), odd.reshape(-1, 4)])
+    q = jnp.take(quads, geom.idx_r0, axis=0)          # (H, W, 4) full footprint
+    v0 = q[..., 0] * (1.0 - geom.fu) + q[..., 1] * geom.fu
+    v1 = q[..., 2] * (1.0 - geom.fu) + q[..., 3] * geom.fu
     pano = v0 * (1.0 - geom.fv) + v1 * geom.fv
     return jnp.where(geom.valid, pano, 0.0)
