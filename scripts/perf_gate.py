@@ -30,21 +30,24 @@ ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 RATIO = 0.8
+PHASES_ARTIFACT = ROOT / "PHASES.json"
 
-# Amortized per-phase budgets (ms) on TPU v5e at K=512/H=512 -- r3 measured
-# values (BASELINE.md post-mortem: stereo 0.027, temporal 0.027, tri 0.026,
-# rigid 0.288, refine 0.311, essential 0.454, full 1.004) x ~1.4 headroom.
-# A phase over budget names the suspect even when the total still squeaks
-# past the ratio gate.
-PHASE_BUDGETS_MS = {
-    "stereo_match": 0.04,
-    "temporal_match": 0.04,
-    "triangulate": 0.04,
-    "ransac_rigid": 0.41,
-    "refine": 0.44,
-    "ransac_essential": 0.64,
-    "full_step": 1.40,
-}
+
+def load_phase_budgets() -> tuple[dict, float]:
+    """Per-phase budgets derived from the recorded PHASES.json artifact.
+
+    Budgets = recorded amortized phase times x the artifact's headroom
+    factor -- NOT hand-maintained constants (VERDICT r3 weak #6: constants
+    rot silently; an artifact is re-recorded with `--record-phases` when a
+    phase-shape change is intentional, and test_docs_sync-style staleness is
+    visible in git history). A phase over budget names the suspect even when
+    the total still squeaks past the ratio gate.
+    """
+    if not PHASES_ARTIFACT.exists():
+        return {}, 1.4
+    rec = json.loads(PHASES_ARTIFACT.read_text())
+    headroom = float(rec.get("headroom", 1.4))
+    return {k: float(v) * headroom for k, v in rec["phases_ms"].items()}, headroom
 
 
 def best_recorded() -> float:
@@ -70,6 +73,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ratio", type=float, default=RATIO)
     ap.add_argument("--skip-phases", action="store_true")
+    ap.add_argument("--record-phases", action="store_true",
+                    help="rewrite PHASES.json from this run's measured "
+                         "breakdown (use after an INTENTIONAL phase-shape "
+                         "change, on the chip)")
     args = ap.parse_args()
 
     ref = best_recorded()
@@ -91,14 +98,28 @@ def main() -> int:
         jax.config.update("jax_compilation_cache_dir", "/tmp/sosvo_tpu_cache")
         from sosvo.utils.phases import phase_breakdown
 
+        budgets, headroom = load_phase_budgets()
         phases = phase_breakdown(k=512)["phases_ms"]
         for name, ms in phases.items():
-            budget = PHASE_BUDGETS_MS.get(name)
+            budget = budgets.get(name)
             flag = ""
             if budget is not None and ms > budget:
                 phase_fail.append(name)
-                flag = f"  <-- OVER BUDGET ({budget} ms)"
+                flag = f"  <-- OVER BUDGET ({budget:.3f} ms)"
             print(f"  {name:20s} {ms:8.4f} ms{flag}")
+        if args.record_phases:
+            import datetime
+
+            PHASES_ARTIFACT.write_text(json.dumps({
+                "phases_ms": {k: round(v, 4) for k, v in phases.items()},
+                "headroom": headroom,
+                "k": 512,
+                "note": "recorded by scripts/perf_gate.py --record-phases",
+                "date": datetime.date.today().isoformat(),
+                "device": jax.devices()[0].device_kind + f", jax {jax.__version__}",
+            }, indent=2) + "\n")
+            print(f"perf_gate: recorded {PHASES_ARTIFACT}")
+            phase_fail = []  # a fresh recording IS the new budget
 
     if not ok or phase_fail:
         if phase_fail:

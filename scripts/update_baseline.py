@@ -58,15 +58,19 @@ def render_block(a: dict) -> str:
     for b in a["bench"]:
         lines.append(f"| {b['file']} (end of round {b['round']}) | {b['value']:.1f} |")
     if a["local"]:
-        lines.append(f"| BENCH_local.json (builder-run, latest) | "
+        lines.append(f"| BENCH_local.json (builder-run, best of runs) | "
                      f"{float(a['local']['value']):.1f} |")
     vals = [b["value"] for b in a["bench"]]
     if a["local"]:
         vals.append(float(a["local"]["value"]))
-    cur = vals[-1] if vals else float("nan")
+    # Headline = the NEWEST driver artifact by round (VERDICT r3 weak #6:
+    # list position put the builder's possibly-stale local file last).
+    newest = max(a["bench"], key=lambda b: b["round"] or -1) if a["bench"] else None
+    cur = newest["value"] if newest else (vals[-1] if vals else float("nan"))
     lines.append("")
     lines.append(f"**Current measured c1 rate: {cur:.0f} frames/s** "
-                 f"(best recorded: {max(vals):.0f}). The perf gate "
+                 f"(newest driver artifact; best recorded anywhere: "
+                 f"{max(vals):.0f}). The perf gate "
                  f"(`scripts/perf_gate.py`) fails any run below 0.8x the best "
                  f"recorded artifact.")
     for m in a["multichip"]:
@@ -89,10 +93,14 @@ def splice(path: Path, block: str) -> bool:
 
 
 def headline_value(a: dict) -> float:
-    vals = [b["value"] for b in a["bench"]]
+    """The NEWEST driver artifact by round (falls back to the builder-local
+    file only when no driver artifact exists) -- list position would put a
+    stale builder file last forever (VERDICT r3 weak #6)."""
+    if a["bench"]:
+        return max(a["bench"], key=lambda b: b["round"] or -1)["value"]
     if a["local"]:
-        vals.append(float(a["local"]["value"]))
-    return vals[-1]
+        return float(a["local"]["value"])
+    return float("nan")
 
 
 def update_readme(a: dict) -> bool:

@@ -30,12 +30,13 @@ class PanoGeometry(NamedTuple):
     Besides the float (u, v) coords, the bilinear interpolation is fully
     precomputed at calibration time (SURVEY.md C5 "LUT build ... once").
     TPU gathers cost ~10 ns per INDEX regardless of fetch width (measured on
-    v5e), so the LUT addresses 2-pixel horizontal PAIRS: the per-frame warp
-    restructures the raw image into (x, x+1) pair rows (two phase tables,
-    cheap strided slices) and gathers 2 indices per pano pixel (the y0 and
-    y1 row taps) instead of 4 corner indices -- exactly the same bilinear
-    result at half the gather cost, ~2x over the 4-corner flat-take warp,
-    which itself measured ~3x over `map_coordinates`.
+    v5e), so the LUT addresses 2x2 QUADS: the per-frame warp restructures
+    the raw image into 4-wide quad rows (img[y,x], img[y,x+1], img[y+1,x],
+    img[y+1,x+1]) in two horizontal phase tables (even/odd x0), and each
+    pano pixel fetches its ENTIRE bilinear footprint with a SINGLE gather
+    index (`idx_r0`) -- same result at 1/4 the gather cost of the 4-corner
+    flat-take warp, and 1/2 that of the r2 pair-table scheme (2 indices:
+    separate y0/y1 row taps). Measured: warp 1.09 -> 0.82 ms/view (m33).
     """
 
     height: int
@@ -44,7 +45,7 @@ class PanoGeometry(NamedTuple):
     max_elevation: float
     lut_uv: jnp.ndarray   # (H, W, 2) raw-image (u, v) sample coords
     valid: jnp.ndarray    # (H, W) bool: LUT lands inside the view's annulus
-    idx_r0: jnp.ndarray   # (H, W) int32 phase-table row of the (y0; x0) footprint
+    idx_r0: jnp.ndarray   # (H, W) int32 quad-table row of the 2x2 footprint
     fu: jnp.ndarray       # (H, W) f32 horizontal lerp fraction
     fv: jnp.ndarray       # (H, W) f32 vertical lerp fraction
 
@@ -92,10 +93,11 @@ def build_pano_geometry(view: ViewParams, height: int, width: int,
     fv = v - v0
     u0i = u0.astype(jnp.int32)
     v0i = v0.astype(jnp.int32)
-    # Pair-table addressing (see PanoGeometry docstring): even-phase pairs
-    # (2m, 2m+1) come first, odd-phase pairs (2m+1, 2m+2) after; row stride
-    # is image_width // 2 in both tables, so the y1 tap is idx_r0 + stride.
-    assert image_width % 2 == 0, "pair-table warp assumes an even image width"
+    # Quad-table addressing (see PanoGeometry docstring and warp_panorama):
+    # even-phase quads (x0 = 2m) come first, odd-phase quads (x0 = 2m+1)
+    # after; one idx_r0 entry addresses the whole 2x2 bilinear footprint of
+    # the pano pixel in the per-frame quad tables.
+    assert image_width % 2 == 0, "quad-table warp assumes an even image width"
     half = image_width // 2
     even = (u0i % 2) == 0
     m = jnp.where(even, u0i, u0i - 1) // 2

@@ -62,8 +62,9 @@ class BAConfig:
     iters: int = 5                   # LM outer iterations
     huber_delta: float = 0.005       # robust kernel width on bearing residuals
     damping_init: float = 1e-3
-    use_pallas_schur: bool = True    # fused Pallas Schur kernel (7.9x vs XLA on
-                                     # v5e; auto-falls back to XLA off-TPU)
+    use_pallas_schur: bool = True    # fused Pallas Schur kernel (3.6x vs XLA on
+                                     # v5e, BASELINE.md roofline table;
+                                     # auto-falls back to XLA off-TPU)
 
 
 @dataclass(frozen=True)
