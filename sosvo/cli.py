@@ -138,10 +138,27 @@ def main(argv=None) -> int:
         room = RoomScene(radius=3.0, floor_z=-1.2, ceiling_z=1.6, texture_scale=2.0)
         poses = make_trajectory(n_frames, radius=0.4)
         scene = scene._replace(poses=poses)
-        imgs = jax.jit(lambda P: render_sequence(rig, P, room))(poses)
         luts = build_frontend_luts(rig, cfg.frontend)
-        extract = jax.jit(jax.vmap(lambda im: extract_observations(rig, luts, cfg.frontend, im)))
-        obs = extract(imgs)
+        # Render + extract in chunks: at c3_long scale (1024 frames) the
+        # whole-sequence image stack is ~2.3 GB and a vmapped extract would
+        # materialize per-frame frontend intermediates for EVERY frame at
+        # once; chunking bounds peak memory at chunk x (image + frontend)
+        # while the kept observations are ~150 KB/frame. lax.map inside the
+        # chunk keeps extraction sequential on-device (the c2-measured
+        # fastest layout).
+        chunk_r = min(int(run.get("render_chunk", 64)), n_frames)
+        render_extract = jax.jit(lambda P: jax.lax.map(
+            lambda im: extract_observations(rig, luts, cfg.frontend, im),
+            render_sequence(rig, P, room)))
+        # Pad the tail chunk (repeat last pose) so every dispatch shares one
+        # compiled shape; padded frames are sliced off below.
+        n_pad = (-n_frames) % chunk_r
+        poses_p = jnp.concatenate([poses, jnp.tile(poses[-1:], (n_pad, 1, 1))]) \
+            if n_pad else poses
+        obs_chunks = [render_extract(poses_p[f0:f0 + chunk_r])
+                      for f0 in range(0, n_frames + n_pad, chunk_r)]
+        obs = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs)[:n_frames], *obs_chunks)
     else:
         obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
                                pixel_noise=pixel_noise, desc_flip_prob=desc_flip)
@@ -162,9 +179,13 @@ def main(argv=None) -> int:
         dp -= 1  # mesh axis must divide the sequence count
 
     if batched:
-        # c4: S sequences in lockstep (f2f pipeline), sequence axis sharded.
+        # c4: S sequences in lockstep (f2f or windowed-BA pipeline),
+        # sequence axis sharded.
         from sosvo.dist.mesh import data_mesh
-        from sosvo.vo.batched import (init_batched_states, run_replay_batched,
+        from sosvo.vo.batched import (init_batched_ba_states,
+                                      init_batched_states,
+                                      run_replay_ba_batched,
+                                      run_replay_batched,
                                       shard_batched_inputs)
 
         assert source == "obs", "batched replay is observation-mode (c4)"
@@ -177,13 +198,23 @@ def main(argv=None) -> int:
                                desc_flip_prob=desc_flip)
               for sc, kk in zip(scenes, keys)])
         gt_poses = jnp.stack([sc.poses for sc in scenes])  # (S, F, 4, 4)
-        state0 = init_batched_states(S, K, jax.random.PRNGKey(2),
-                                     T0=gt_poses[:, 0])
         mesh = data_mesh(dp)
-        state0, obs = shard_batched_inputs(mesh, state0, obs)
-        replay = jax.jit(lambda s, o: run_replay_batched(rig, cfg, s, o))
-        get_T = lambda o: o.T_world                       # (S, F, 4, 4)
-        get_vo = lambda o: jax.tree.map(lambda x: x[0], o)  # log sequence 0
+        if args.mode == "ba":
+            # Batched windowed-BA replay (B:10's full contract: the batched
+            # path runs the shared Schur/BA kernels, not just the f2f step).
+            state0 = init_batched_ba_states(S, cfg, jax.random.PRNGKey(2),
+                                            T0=gt_poses[:, 0])
+            state0, obs = shard_batched_inputs(mesh, state0, obs)
+            replay = jax.jit(lambda s, o: run_replay_ba_batched(rig, cfg, s, o))
+            get_T = lambda o: o.vo.T_world                # (S, F, 4, 4)
+            get_vo = lambda o: jax.tree.map(lambda x: x[0], o.vo)
+        else:
+            state0 = init_batched_states(S, K, jax.random.PRNGKey(2),
+                                         T0=gt_poses[:, 0])
+            state0, obs = shard_batched_inputs(mesh, state0, obs)
+            replay = jax.jit(lambda s, o: run_replay_batched(rig, cfg, s, o))
+            get_T = lambda o: o.T_world                   # (S, F, 4, 4)
+            get_vo = lambda o: jax.tree.map(lambda x: x[0], o)  # log sequence 0
         slice_obs = lambda f, hi: jax.tree.map(lambda x: x[:, f:hi], obs)
     else:
         gt_poses = scene.poses
@@ -203,16 +234,19 @@ def main(argv=None) -> int:
                 replay = jax.jit(lambda s, o: run_replay_ba(rig, cfg, s, o))
             get_T = lambda o: o.vo.T_world
             get_vo = lambda o: o.vo
+            get_kf = lambda o: o.is_keyframe
         else:
             state0 = init_track_state(K, jax.random.PRNGKey(2), T0=scene.poses[0])
             replay = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))
             get_T = lambda o: o.T_world
             get_vo = lambda o: o
+            get_kf = None
 
     fax = 1 if batched else 0  # the frame axis of stacked trajectories
     start_frame = 0
     state = state0
     traj_prefix = np.zeros((S, 0, 4, 4) if batched else (0, 4, 4), np.float32)
+    kf_prefix = np.zeros((0,), bool)
     if args.resume:
         step = latest_step(ckpt_dir)
         if step is not None:
@@ -223,10 +257,14 @@ def main(argv=None) -> int:
             # must not leak into any estimation path (PGO below consumes the
             # full estimated trajectory).
             traj_prefix = np.load(ckpt_dir / f"traj_{step:08d}.npy")
+            kf_path = ckpt_dir / f"kf_{step:08d}.npy"
+            if kf_path.exists():  # keyframe flags (ba mode): the PGO stage
+                kf_prefix = np.load(kf_path)  # needs the scan's ACTUAL set
             print(f"[sosvo] resumed from checkpoint at frame {step}")
 
     chunk = max(1, args.ckpt_every)
     all_T = [traj_prefix]
+    all_kf = [kf_prefix]
     t0 = time.perf_counter()
     f = start_frame
     append = args.resume and start_frame > 0
@@ -235,10 +273,14 @@ def main(argv=None) -> int:
         state, outs = jax.block_until_ready(replay(state, slice_obs(f, hi)))
         vo = get_vo(outs)
         all_T.append(np.asarray(get_T(outs)))
+        if get_kf is not None and not batched:
+            all_kf.append(np.asarray(get_kf(outs)))
         write_jsonl(log_path, stepoutput_rows(vo, t_offset=f), append=append)
         append = True
         save_state(ckpt_dir, hi, state)
         np.save(ckpt_dir / f"traj_{hi:08d}.npy", np.concatenate(all_T, axis=fax))
+        if get_kf is not None and not batched:
+            np.save(ckpt_dir / f"kf_{hi:08d}.npy", np.concatenate(all_kf))
         if 0 <= args.fault_inject < hi:
             print(f"[sosvo] fault injection: dying after frame {hi}")
             sys.stdout.flush()
@@ -259,6 +301,14 @@ def main(argv=None) -> int:
             min_inliers=cfg.loop_min_inliers,
             max_candidates=cfg.loop_candidates or None,
             robust=cfg.pgo_robust, robust_delta=cfg.pgo_robust_delta)
+        if args.mode == "ba":
+            # Hand PGO the scan's ACTUAL keyframe set so it optimizes the
+            # same nodes the BA window used (identical to the stride set in
+            # "stride" mode; the whole point in "adaptive" mode).
+            kf_flags = np.concatenate(all_kf)
+            kf_idx_scan = np.nonzero(kf_flags)[0]
+            if len(kf_idx_scan) >= 2:
+                pgo_kwargs["kf_idx"] = kf_idx_scan
         if cfg.dist.pgo_shards > 1:
             # Long-trajectory mode (SURVEY.md section 5.7): candidate pairs
             # sharded for detection, keyframe nodes time-sharded for the PGO

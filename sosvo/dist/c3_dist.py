@@ -38,7 +38,7 @@ from sosvo.geom.lie import mat_inv
 from sosvo.sensor.rig import OmnistereoRig
 from sosvo.synth.scene import FrameObservations
 from sosvo.utils.config import PipelineConfig
-from sosvo.vo.loop_closure import keyframe_indices
+from sosvo.vo.loop_closure import governing_map, keyframe_indices
 
 
 def pgo_refine_trajectory_sharded(
@@ -54,6 +54,7 @@ def pgo_refine_trajectory_sharded(
     max_candidates: int | None = None,
     robust: str = "none",
     robust_delta: float = 0.1,
+    kf_idx: np.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sharded twin of `pgo_refine_trajectory` (same signature + a mesh).
 
@@ -64,7 +65,9 @@ def pgo_refine_trajectory_sharded(
     """
     n_dev = mesh.shape[DATA_AXIS]
     n_frames = T_world_seq.shape[0]
-    kf_idx = keyframe_indices(n_frames, cfg.keyframe_every)
+    if kf_idx is None:
+        kf_idx = keyframe_indices(n_frames, cfg.keyframe_every)
+    kf_idx = np.asarray(kf_idx)  # the scan's actual keyframe set when given
     obs_kf = jax.tree.map(lambda x: x[kf_idx], obs_seq)
     X_kf = jax.vmap(mat_inv)(T_world_seq[kf_idx])
     n_kf = len(kf_idx)
@@ -97,8 +100,7 @@ def pgo_refine_trajectory_sharded(
                                  robust=robust, robust_delta=robust_delta)
 
     # --- rigid per-segment correction (same as the single-device path) ---
-    gov = jnp.asarray(np.minimum(np.arange(n_frames) // cfg.keyframe_every,
-                                 n_kf - 1), jnp.int32)
+    gov = jnp.asarray(governing_map(n_frames, kf_idx))
     T_kf_old = T_world_seq[kf_idx]
     T_kf_new = jax.vmap(mat_inv)(res.X[:n_kf])
     corr = jnp.einsum("nij,njk->nik", T_kf_new, jax.vmap(mat_inv)(T_kf_old))

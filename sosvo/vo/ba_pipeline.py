@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sosvo.frontend.match import metric_params
 from sosvo.geom.lie import mat_inv
 from sosvo.sensor.rig import OmnistereoRig
 from sosvo.synth.scene import FrameObservations
@@ -54,16 +55,26 @@ def step_ba(
     state: BAState,
     obs: FrameObservations,
     ba_fn=None,
+    is_kf_override: jnp.ndarray | None = None,
 ) -> tuple[BAState, BAStepOutput]:
     """One frame with keyframe/BA logic. Pure; jit/scan-safe.
 
     `ba_fn` (MapState -> (MapState, cost)) overrides the window solve --
     the distributed replay (`sosvo/dist/replay_dist.py`) passes a
-    shard_map'd landmark-sharded Schur solve here (config c5)."""
+    shard_map'd landmark-sharded Schur solve here (config c5).
+
+    `is_kf_override`: a SCALAR keyframe decision computed outside this
+    function. The batched replay (`vo/batched.py:run_replay_ba_batched`)
+    passes the lockstep stride decision as an UNBATCHED scalar so the
+    keyframe `lax.cond` below survives vmap as a cond -- with a per-lane
+    (batched) predicate vmap lowers cond to select and BOTH branches
+    (including the window BA solve) would execute every frame."""
     track, out, feats = step_full(rig, cfg, state.track, obs)
     frame = track.frame_idx - 1  # index of the frame just processed
 
-    if cfg.keyframe_mode == "adaptive":
+    if is_kf_override is not None:
+        is_kf = is_kf_override
+    elif cfg.keyframe_mode == "adaptive":
         # Motion-adaptive trigger (SURVEY.md C15 keyframe logic; COMPAT #11):
         # keyframe when accumulated motion since the LAST keyframe crosses a
         # translation/rotation threshold, with a max-gap forcing function so
@@ -83,11 +94,13 @@ def step_ba(
         is_kf = jnp.mod(frame, cfg.keyframe_every) == 0
 
     def do_keyframe(m: MapState):
+        metric, max_dist = metric_params(cfg.frontend)
         m = insert_keyframe(
             m, track.T_world, feats, frame,
             max_new=cfg.ba.max_new,
-            match_max_distance=cfg.frontend.match_max_distance,
+            match_max_distance=max_dist,
             match_ratio=cfg.frontend.match_ratio,
+            metric=metric,
         )
         # Skip BA until the window has >= 2 keyframes (nothing to adjust).
         def ba(mm):

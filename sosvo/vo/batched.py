@@ -52,6 +52,52 @@ def run_replay_batched(
     return final, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)     # (S, F, ...)
 
 
+def init_batched_ba_states(n_seq: int, cfg: PipelineConfig, key: jax.Array,
+                           T0: jnp.ndarray | None = None):
+    """Stacked BAStates (track + keyframe map), leading axis = sequence."""
+    from sosvo.vo.ba_pipeline import init_ba_state
+
+    keys = jax.random.split(key, n_seq)
+    T0s = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n_seq, 1, 1)) if T0 is None else T0
+    return jax.vmap(lambda k, T: init_ba_state(cfg, k, T0=T))(keys, T0s)
+
+
+def run_replay_ba_batched(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    states,
+    obs_seqs: FrameObservations,
+):
+    """Replay S sequences in lockstep WITH windowed BA (B:10's full contract:
+    the batched path shares the Schur/BA kernels, not just the f2f step).
+
+    MapState is a fixed-shape pytree, so `jax.vmap(step_ba)` batches the
+    keyframe map, landmark insertion, and the window solve per sequence with
+    no code changes; on the "data" mesh every BA matmul partitions like the
+    f2f kernels do.
+
+    Keyframing is forced to the LOCKSTEP STRIDE schedule: all lanes start at
+    the same frame index, so the stride decision is one scalar per scan step,
+    computed OUTSIDE the vmap and passed via `is_kf_override` -- keeping the
+    keyframe `lax.cond` a real cond (a per-lane predicate would lower to
+    select and run the BA solve every frame for every lane). Adaptive
+    keyframing is per-lane by nature and therefore not supported batched;
+    callers get the stride schedule regardless of `cfg.keyframe_mode`.
+    """
+    from sosvo.vo.ba_pipeline import step_ba
+
+    def body(s, o):
+        # Lanes are in lockstep: lane 0's frame counter IS the scalar frame.
+        frame = s.track.frame_idx[0]
+        is_kf = jnp.mod(frame, cfg.keyframe_every) == 0
+        return jax.vmap(lambda st, ob: step_ba(
+            rig, cfg, st, ob, is_kf_override=is_kf))(s, o)
+
+    obs_fmajor = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seqs)  # (F, S, ...)
+    final, outs = jax.lax.scan(body, states, obs_fmajor)
+    return final, jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)     # (S, F, ...)
+
+
 def shard_batched_inputs(mesh: Mesh, states: TrackState, obs_seqs: FrameObservations):
     """Place the sequence axis on the "data" mesh axis, everything else replicated."""
 

@@ -38,6 +38,29 @@ def image_step(
     return step(rig, cfg, state, obs)
 
 
+def image_step_ba(
+    rig: OmnistereoRig,
+    luts: FrontendLUTs,
+    cfg: PipelineConfig,
+    state,
+    image: jax.Array,
+    ba_fn=None,
+):
+    """One keyframed windowed-BA VO frame from a raw omni image.
+
+    The live driver's BA mode (`vo/live.py:live_vo_ba`) jits exactly this:
+    frontend extraction (same fusion firewall as `image_step`) feeding
+    `step_ba`'s keyframe-map / window-solve logic, so a streaming source
+    gets the same map-backed trajectory the replay path produces
+    (SURVEY.md C15's two execution modes x the BA backend; VERDICT r3
+    missing #2)."""
+    from sosvo.vo.ba_pipeline import step_ba
+
+    obs = extract_observations(rig, luts, cfg.frontend, image)
+    obs = jax.lax.optimization_barrier(obs)
+    return step_ba(rig, cfg, state, obs, ba_fn=ba_fn)
+
+
 def run_replay_images(
     rig: OmnistereoRig,
     cfg: PipelineConfig,

@@ -85,6 +85,7 @@ def insert_keyframe(
     max_new: int,
     match_max_distance: float = 80.0,
     match_ratio: float = 0.9,
+    metric: str = "hamming",
 ) -> MapState:
     """Add a keyframe: associate map landmarks, insert new ones, record obs."""
     W = m.kf_X.shape[0]
@@ -101,9 +102,12 @@ def insert_keyframe(
     kf_valid = m.kf_valid.at[new_head].set(True)
     kf_frame = m.kf_frame.at[new_head].set(frame_idx.astype(jnp.int32))
 
-    # --- data association: map landmarks -> current features (Hamming) ---
+    # --- data association: map landmarks -> current features ---
+    # (Hamming for binary descriptors, L2 for SIFT -- callers pass
+    # `frontend.match.metric_params(cfg.frontend)`.)
     mm = match(m.lm_desc, feats.desc, m.lm_valid, feats.valid,
-               max_distance=match_max_distance, ratio=match_ratio)
+               max_distance=match_max_distance, ratio=match_ratio,
+               metric=metric)
     assoc = mm.valid                      # (L,) landmark l matched feature idx_b[l]
     f_of_l = mm.idx_b
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from sosvo.backend.ba import BAWindow, ba_solve
 from sosvo.backend.pose_graph import PoseGraph, pgo_solve
-from sosvo.frontend.match import match, unpack_bits_pm1
+from sosvo.frontend.match import match, metric_params, unpack_bits_pm1
 from sosvo.geom.lie import mat_inv
 from sosvo.geometry.ransac import ransac_rigid
 from sosvo.sensor.model import viewpoint
@@ -38,6 +38,18 @@ from sosvo.vo.pipeline import stereo_triangulate
 
 def keyframe_indices(n_frames: int, keyframe_every: int) -> np.ndarray:
     return np.arange(0, n_frames, keyframe_every)
+
+
+def governing_map(n_frames: int, kf_idx: np.ndarray) -> np.ndarray:
+    """(F,) index of the keyframe governing each frame (its preceding one).
+
+    Works for ANY keyframe index set -- stride or the scan's actual adaptive
+    set (VERDICT r3 weak #3: the PGO stage used to recompute a stride and
+    silently optimize a different node set than the BA window used).
+    """
+    kf = np.asarray(kf_idx)
+    gov = np.searchsorted(kf, np.arange(n_frames), side="right") - 1
+    return np.clip(gov, 0, len(kf) - 1).astype(np.int32)
 
 
 def loop_pairs(n_kf: int, min_gap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -151,9 +163,11 @@ def loop_edges_for_pairs(rig, cfg, feats, pi, pj, keys, min_inliers: int):
     eye4 = jnp.eye(4, dtype=jnp.float32)
 
     def one_pair(i, j, k):
+        metric, max_dist = metric_params(cfg.frontend)
         m = match(desc[i], desc[j], valid[i], valid[j],
-                  max_distance=cfg.frontend.match_max_distance,
-                  ratio=cfg.frontend.match_ratio)
+                  max_distance=max_dist,
+                  ratio=cfg.frontend.match_ratio,
+                  metric=metric)
         pair_valid = m.valid & valid[i] & valid[j][m.idx_b]
         rays_j = ray_t[j][m.idx_b]
         rr = ransac_rigid(
@@ -209,14 +223,22 @@ def pgo_refine_trajectory(
     max_candidates: int | None = None,
     robust: str = "none",
     robust_delta: float = 0.1,
+    kf_idx: np.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Close loops over a replayed trajectory; returns (corrected poses, n_loops).
 
     `T_world_seq`: (F, 4, 4) world-from-rig VO estimates. Non-keyframe poses
     are corrected rigidly with their governing (preceding) keyframe.
+
+    `kf_idx`: the scan's ACTUAL keyframe frame indices (host numpy, e.g.
+    `np.nonzero(outs.is_keyframe)[0]` from the BA replay) so the pose graph
+    optimizes the same node set the BA window used -- essential in adaptive
+    keyframe mode. None falls back to the stride schedule.
     """
     n_frames = T_world_seq.shape[0]
-    kf_idx = keyframe_indices(n_frames, cfg.keyframe_every)
+    if kf_idx is None:
+        kf_idx = keyframe_indices(n_frames, cfg.keyframe_every)
+    kf_idx = np.asarray(kf_idx)
     obs_kf = jax.tree.map(lambda x: x[kf_idx], obs_seq)
     X_kf = jax.vmap(mat_inv)(T_world_seq[kf_idx])
     n_kf = len(kf_idx)
@@ -241,8 +263,7 @@ def pgo_refine_trajectory(
     res = pgo_solve(g, iters=iters, robust=robust, robust_delta=robust_delta)
 
     # Rigid per-segment correction: frame f governed by keyframe k(f).
-    gov = jnp.asarray(np.minimum(np.arange(n_frames) // cfg.keyframe_every,
-                                 n_kf - 1), jnp.int32)
+    gov = jnp.asarray(governing_map(n_frames, kf_idx))
     T_kf_old = T_world_seq[kf_idx]                       # world-from-rig (old)
     T_kf_new = jax.vmap(mat_inv)(res.X)                  # world-from-rig (new)
     corr = jnp.einsum("nij,njk->nik", T_kf_new, jax.vmap(mat_inv)(T_kf_old))

@@ -78,3 +78,74 @@ def test_adaptive_max_gap_forces_keyframes_when_static():
     _, n_kf = _run(cfg, scene, obs)
     expected = 1 + (F - 1) // 8
     assert abs(n_kf - expected) <= 1, (n_kf, expected)
+
+
+def test_pgo_optimizes_the_scans_adaptive_keyframe_set(monkeypatch):
+    """The PGO stage must build its node set from the scan's ACTUAL keyframe
+    indices, not a recomputed stride (VERDICT r3 weak #3). Captures the
+    PoseGraph handed to pgo_solve and checks node-for-node equality, plus
+    that the rigid correction is segment-constant under the adaptive
+    governing map."""
+    import numpy as np
+
+    from sosvo.vo import loop_closure as lc
+
+    scene = _variable_speed_scene()
+    obs = observe_sequence(rig_g, scene, K, jax.random.PRNGKey(1),
+                           pixel_noise=0.3, desc_flip_prob=0.02)
+    cfg = PipelineConfig(frontend=FrontendConfig(max_features=K),
+                         ransac=RansacConfig(n_hyps=256),
+                         ba=BAConfig(window=4, max_landmarks=512, iters=3,
+                                     use_pallas_schur=False),
+                         keyframe_mode="adaptive",
+                         kf_trans_thresh=0.15, kf_rot_thresh=0.15,
+                         kf_max_gap=8)
+    s0 = init_ba_state(cfg, jax.random.PRNGKey(2), T0=scene.poses[0])
+    _, outs = jax.jit(lambda s, o: run_replay_ba(rig_g, cfg, s, o))(s0, obs)
+    kf_idx = np.nonzero(np.asarray(outs.is_keyframe))[0]
+    # Adaptive set is NOT the stride set (else this test proves nothing).
+    assert not np.array_equal(kf_idx, lc.keyframe_indices(F, cfg.keyframe_every))
+
+    captured = {}
+    real_solve = lc.pgo_solve
+
+    def spy(g, **kw):
+        captured["g"] = g
+        return real_solve(g, **kw)
+
+    monkeypatch.setattr(lc, "pgo_solve", spy)
+    T_pgo, _ = lc.pgo_refine_trajectory(
+        rig_g, cfg, obs, outs.vo.T_world, min_gap=3, min_inliers=20,
+        max_candidates=4, kf_idx=kf_idx)
+
+    g = captured["g"]
+    assert g.X.shape[0] == len(kf_idx)
+    np.testing.assert_allclose(
+        np.asarray(g.X),
+        np.asarray(jax.vmap(lambda T: jnp.linalg.inv(T))(outs.vo.T_world[kf_idx])),
+        atol=1e-5)
+
+    # Non-keyframe poses move rigidly with their GOVERNING keyframe: within
+    # each segment the correction T_new T_old^-1 is constant.
+    gov = lc.governing_map(F, kf_idx)
+    corr = np.asarray(jnp.einsum(
+        "fij,fjk->fik", T_pgo, jax.vmap(lambda T: jnp.linalg.inv(T))(outs.vo.T_world)))
+    for k in range(len(kf_idx)):
+        seg = corr[gov == k]
+        assert np.max(np.abs(seg - seg[0])) < 1e-5
+
+
+def test_governing_map_matches_stride_for_stride_sets():
+    import numpy as np
+
+    from sosvo.vo.loop_closure import governing_map, keyframe_indices
+
+    for n, every in [(1, 4), (7, 3), (20, 4), (33, 5)]:
+        kf = keyframe_indices(n, every)
+        expected = np.minimum(np.arange(n) // every, len(kf) - 1)
+        np.testing.assert_array_equal(governing_map(n, kf), expected)
+    # Irregular (adaptive-style) sets: each frame governed by its
+    # preceding keyframe.
+    kf = np.asarray([0, 2, 3, 9])
+    np.testing.assert_array_equal(
+        governing_map(12, kf), [0, 0, 1, 2, 2, 2, 2, 2, 2, 3, 3, 3])

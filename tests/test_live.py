@@ -48,3 +48,60 @@ def test_live_vo_over_native_stream(tmp_path):
     d_est = np.linalg.norm(np.diff(est[:, :3, 3], axis=0), axis=-1)
     d_gt = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1)
     assert np.max(np.abs(d_est - d_gt)) < 0.01
+
+
+def test_live_ba_matches_replay_ba(tmp_path):
+    """Live BA mode (map + window solve against a stream) produces the SAME
+    trajectory as the replay BA path on identical frames (VERDICT r3
+    missing #2)."""
+    try:
+        _build_lib()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"native toolchain unavailable: {e}")
+
+    import jax.numpy as jnp
+
+    from sosvo.frontend.image_frontend import build_frontend_luts, extract_observations
+    from sosvo.utils.config import BAConfig
+    from sosvo.vo.ba_pipeline import init_ba_state, run_replay_ba
+    from sosvo.vo.live import live_vo_ba
+
+    rig = default_rig(image_size=768)
+    n = 8
+    poses = make_trajectory(n, radius=0.4)
+    room = RoomScene(radius=3.0, floor_z=-1.2, ceiling_z=1.6, texture_scale=2.0)
+    imgs = np.asarray(jax.jit(lambda P: render_sequence(rig, P, room))(poses))
+    seq_path = tmp_path / "live_ba.sosq"
+    write_sosq(seq_path, imgs)
+
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_features=384, pano_height=96, pano_width=768,
+                                descriptor_patch=16),
+        ransac=RansacConfig(rigid_angle_threshold=0.02, essential_threshold=0.01,
+                            min_inliers=8),
+        ba=BAConfig(window=4, max_landmarks=512, iters=3, use_pallas_schur=False),
+        keyframe_every=3,
+    )
+
+    results = {}
+    kf = {}
+    with SosqReader(seq_path, readahead=2) as reader:
+        frames = (reader.next() for _ in range(len(reader)))
+        for idx, out in live_vo_ba(rig, cfg, frames, key=jax.random.PRNGKey(1),
+                                   T0=np.asarray(poses[0])):
+            results[idx] = np.asarray(out.vo.T_world)
+            kf[idx] = bool(out.is_keyframe)
+    assert sorted(results) == list(range(n))
+    assert sum(kf.values()) == (n + 2) // 3   # the stride schedule ran
+
+    # Replay path on the same frames: extract observations, scan step_ba.
+    luts = build_frontend_luts(rig, cfg.frontend)
+    obs = jax.jit(jax.vmap(
+        lambda im: extract_observations(rig, luts, cfg.frontend, im)))(
+        jnp.asarray(imgs))
+    s0 = init_ba_state(cfg, jax.random.PRNGKey(1), T0=poses[0])
+    _, outs = jax.jit(lambda s, o: run_replay_ba(rig, cfg, s, o))(s0, obs)
+    live_T = np.stack([results[i] for i in range(n)])
+    replay_T = np.asarray(outs.vo.T_world)
+    assert np.max(np.abs(live_T - replay_T)) < 1e-4, \
+        np.max(np.abs(live_T - replay_T))
