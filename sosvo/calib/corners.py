@@ -1,0 +1,299 @@
+"""Chessboard corner detection from raw omni images (host-side).
+
+Closes the calibration loop from PIXELS (SURVEY.md C16; VERDICT r3 missing
+#3): the reference toolchain goes image -> corners -> GUM parameters, where
+corner extraction is an OpenCV call. This is an original host-side
+implementation (numpy/scipy are fine OFF the product path -- calibration is
+an offline side-chain, SURVEY.md section 7):
+
+  1. saddle detection: chessboard X-corners are saddle points of intensity,
+     so det(Hessian) < 0 with large magnitude; non-max suppression +
+     quadratic subpixel refinement on the response surface;
+  2. lattice growing: breadth-first integer-coordinate assignment with
+     locally extrapolated step vectors, which tolerates the smooth but
+     strong warp of catadioptric views (a global homography would not);
+  3. symmetry resolution: a grown lattice is known only up to the board's
+     dihedral symmetries per view; hypotheses are scored with the rig's own
+     stereo geometry (triangulate + Umeyama against the known grid), which
+     also rejects the improper (reflected) assignments.
+
+The output is `calib.boards.BoardObservations` -- the exact structure the
+staged GUM fit (`fit_rig_full_gum`) consumes, so
+images -> board_observations_from_images -> fit -> calib JSON is one chain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sosvo.calib.boards import BoardObservations, make_board_grid
+
+
+def _gaussian_smooth_np(img: np.ndarray, sigma: float) -> np.ndarray:
+    from scipy.ndimage import gaussian_filter
+
+    return gaussian_filter(img.astype(np.float64), sigma, mode="nearest")
+
+
+def detect_saddles(
+    img: np.ndarray,
+    mask: np.ndarray | None = None,
+    max_corners: int = 256,
+    sigma: float = 1.5,
+    rel_threshold: float = 0.12,
+    nms_radius: int = 3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """((N, 2) subpixel (u, v) saddle points, (N,) strengths), strongest
+    first.
+
+    Response = -det(Hessian) of the smoothed image: positive at saddles
+    (X-corners), negative at blobs/ridges, so thresholding needs no corner
+    template and is rotation invariant -- important because azimuth rotates
+    the checker orientation continuously around the omni annulus.
+    """
+    from scipy.ndimage import maximum_filter
+
+    g = _gaussian_smooth_np(img, sigma)
+    gy, gx = np.gradient(g)
+    gxy, gxx = np.gradient(gx)
+    gyy, _ = np.gradient(gy)
+    resp = gxy * gxy - gxx * gyy               # -det(H) > 0 at saddles
+    if mask is not None:
+        resp = np.where(mask, resp, 0.0)
+    peak = (resp == maximum_filter(resp, size=2 * nms_radius + 1)) \
+        & (resp > rel_threshold * resp.max())
+    vs, us = np.nonzero(peak)
+    order = np.argsort(resp[vs, us])[::-1][:max_corners]
+    vs, us = vs[order], us[order]
+
+    # Subpixel: quadratic fit of the response surface in the 3x3 patch.
+    h, w = resp.shape
+    out = []
+    for v, u in zip(vs, us):
+        if 1 <= v < h - 1 and 1 <= u < w - 1:
+            p = resp[v - 1:v + 2, u - 1:u + 2]
+            du = 0.5 * (p[1, 2] - p[1, 0])
+            dv = 0.5 * (p[2, 1] - p[0, 1])
+            duu = p[1, 2] - 2 * p[1, 1] + p[1, 0]
+            dvv = p[2, 1] - 2 * p[1, 1] + p[0, 1]
+            duv = 0.25 * (p[2, 2] - p[2, 0] - p[0, 2] + p[0, 0])
+            det = duu * dvv - duv * duv
+            if abs(det) > 1e-12:
+                ou = -(dvv * du - duv * dv) / det
+                ov = -(duu * dv - duv * du) / det
+                if abs(ou) < 1.0 and abs(ov) < 1.0:
+                    out.append((u + ou, v + ov))
+                    continue
+        out.append((float(u), float(v)))
+    return (np.asarray(out, np.float64).reshape(-1, 2),
+            resp[vs, us].astype(np.float64))
+
+
+def grow_grid(pts: np.ndarray, nx: int, ny: int,
+              strengths: np.ndarray | None = None) -> np.ndarray | None:
+    """Assign lattice coordinates to detected saddle points.
+
+    Returns (nx, ny, 3): [:, :, :2] = (u, v), [:, :, 2] = found flag; or
+    None when no (nx, ny)-compatible lattice emerges. Orientation is
+    arbitrary (resolved later against the rig's stereo geometry).
+
+    BFS with LOCALLY EXTRAPOLATED steps: the prediction for cell (i+1, j) is
+    2 p(i, j) - p(i-1, j) (or a nearby parallel edge when there is no
+    opposite neighbor), so the lattice follows the annulus curvature --
+    steps rotate gradually and a global basis would drift off within a few
+    cells on an omni image.
+
+    An OVERSIZED lattice (the border squares' T-junctions are
+    lattice-consistent one-square continuations of the inner X-corners, so
+    the BFS happily annexes them) is trimmed to the (nx, ny) subwindow with
+    the largest summed saddle `strengths` -- true X-corners respond far
+    stronger than border T-corners, so the inner grid wins.
+    """
+    n = len(pts)
+    if n < 4:
+        return None
+    centroid = pts.mean(axis=0)
+    seed = int(np.argmin(np.linalg.norm(pts - centroid, axis=1)))
+    d_seed = np.linalg.norm(pts - pts[seed], axis=1)
+    order = np.argsort(d_seed)
+    n1 = int(order[1])
+    u_vec = pts[n1] - pts[seed]
+    vi = None
+    for cand in order[2:]:
+        wv = pts[cand] - pts[seed]
+        cosang = abs(np.dot(u_vec, wv)) / (np.linalg.norm(u_vec) * np.linalg.norm(wv) + 1e-12)
+        ratio = np.linalg.norm(wv) / (np.linalg.norm(u_vec) + 1e-12)
+        if cosang < 0.7 and 0.25 < ratio < 4.0:
+            vi = int(cand)
+            break
+    if vi is None:
+        return None
+
+    grid = {(0, 0): seed, (1, 0): n1, (0, 1): vi}
+    used = {seed, n1, vi}
+    changed = True
+    while changed:
+        changed = False
+        for (i, j), idx in list(grid.items()):
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                tgt = (i + di, j + dj)
+                if tgt in grid:
+                    continue
+                opp = (i - di, j - dj)
+                if opp in grid:
+                    step = pts[idx] - pts[grid[opp]]
+                else:
+                    step = None
+                    for (pi, pj), pidx in grid.items():
+                        q = (pi + di, pj + dj)
+                        if q in grid and abs(pi - i) + abs(pj - j) <= 2:
+                            step = pts[grid[q]] - pts[pidx]
+                            break
+                    if step is None:
+                        continue
+                pred = pts[idx] + step
+                tol = 0.35 * np.linalg.norm(step)
+                d = np.linalg.norm(pts - pred, axis=1)
+                d[list(used)] = np.inf
+                best = int(np.argmin(d))
+                if d[best] < tol:
+                    grid[tgt] = best
+                    used.add(best)
+                    changed = True
+
+    if strengths is None:
+        strengths = np.ones(n)
+    ii = np.asarray([k[0] for k in grid])
+    jj = np.asarray([k[1] for k in grid])
+    ii -= ii.min()
+    jj -= jj.min()
+    di, dj = ii.max() + 1, jj.max() + 1
+    full = np.zeros((di, dj, 3))
+    s_full = np.zeros((di, dj))
+    for (key, idx), i2, j2 in zip(grid.items(), ii, jj):
+        full[i2, j2, :2] = pts[idx]
+        full[i2, j2, 2] = 1.0
+        s_full[i2, j2] = strengths[idx]
+    # Strongest (nx, ny) subwindow over BOTH orientations (the border ring
+    # can pad the lattice square -- e.g. a 4x5 true block inside 6x6 -- so
+    # the transpose decision belongs to the window search, not the raw dims).
+    best = None
+    for wx, wy, transpose in ((nx, ny, False), (ny, nx, True)):
+        if di < wx or dj < wy:
+            continue
+        for oi in range(di - wx + 1):
+            for oj in range(dj - wy + 1):
+                s = s_full[oi:oi + wx, oj:oj + wy].sum()
+                if best is None or s > best[0]:
+                    best = (s, oi, oj, wx, wy, transpose)
+    if best is None:
+        return None
+    _, oi, oj, wx, wy, transpose = best
+    out = full[oi:oi + wx, oj:oj + wy]
+    if transpose:
+        out = np.swapaxes(out, 0, 1)
+    if out[..., 2].sum() < 0.8 * nx * ny:
+        return None
+    return out
+
+
+_SYMMETRIES = ((False, False), (True, False), (False, True), (True, True))
+
+
+def _apply_sym(g: np.ndarray, flip_i: bool, flip_j: bool) -> np.ndarray:
+    if flip_i:
+        g = g[::-1]
+    if flip_j:
+        g = g[:, ::-1]
+    return g
+
+
+def resolve_symmetry(rig, grid_pts, g_top: np.ndarray, g_bot: np.ndarray):
+    """Pick the (top, bottom) dihedral orientation pair that the rig's own
+    stereo geometry supports: triangulate corners seen in both views and
+    Umeyama-fit them to the known board grid; the true (proper) assignment
+    fits to sub-mm, reflected (improper) ones cannot (Umeyama returns a
+    proper rotation by construction)."""
+    import jax.numpy as jnp
+
+    from sosvo.geometry.align import umeyama
+    from sosvo.geometry.triangulate import midpoint_triangulate
+    from sosvo.sensor.model import lift, viewpoint
+
+    best = None
+    for st in _SYMMETRIES:
+        gt_ = _apply_sym(g_top, *st).reshape(-1, 3)
+        for sb in _SYMMETRIES:
+            gb_ = _apply_sym(g_bot, *sb).reshape(-1, 3)
+            w = (gt_[:, 2] * gb_[:, 2]).astype(np.float32)
+            if w.sum() < 6:
+                continue
+            ray_t, ok_t = lift(rig.top, jnp.asarray(gt_[:, :2], jnp.float32))
+            ray_b, ok_b = lift(rig.bottom, jnp.asarray(gb_[:, :2], jnp.float32))
+            c_t = jnp.broadcast_to(viewpoint(rig.top), ray_t.shape)
+            c_b = jnp.broadcast_to(viewpoint(rig.bottom), ray_b.shape)
+            tri = midpoint_triangulate(ray_t, ray_b, c_t, c_b)
+            ww = jnp.asarray(w) * ok_t * ok_b * tri.valid
+            T, _ = umeyama(grid_pts, tri.points, weights=ww)
+            fit = jnp.einsum("ij,gj->gi", T[:3, :3], grid_pts) + T[:3, 3]
+            res = jnp.sum(jnp.sum((fit - tri.points) ** 2, -1) * ww) / \
+                jnp.maximum(jnp.sum(ww), 1e-9)
+            res = float(res)
+            if best is None or res < best[0]:
+                best = (res, gt_, gb_)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def board_observations_from_images(
+    rig,
+    images: np.ndarray,
+    nx: int = 5,
+    ny: int = 4,
+    square: float = 0.07,
+    erode_annulus: int = 4,
+) -> BoardObservations | None:
+    """(M, H, W) raw omni board captures -> BoardObservations, or None if
+    any board fails detection in either view.
+
+    Each image contains the SAME board twice (inner annulus = bottom mirror,
+    outer = top); detection runs per view on the annulus-masked image so the
+    two lattices never merge across the view boundary.
+    """
+    import jax.numpy as jnp
+    from scipy.ndimage import binary_erosion
+
+    from sosvo.sensor.model import annulus_mask
+
+    h, w = images.shape[-2:]
+    masks = {}
+    for name, view in (("top", rig.top), ("bottom", rig.bottom)):
+        m = np.asarray(annulus_mask(view, h, w))
+        masks[name] = binary_erosion(m, iterations=erode_annulus)
+
+    grid_pts = make_board_grid(nx, ny, square)
+    g = nx * ny
+    m_boards = images.shape[0]
+    uv_t = np.zeros((m_boards, g, 2), np.float32)
+    w_t = np.zeros((m_boards, g), np.float32)
+    uv_b = np.zeros((m_boards, g, 2), np.float32)
+    w_b = np.zeros((m_boards, g), np.float32)
+    for bi, img in enumerate(np.asarray(images)):
+        grids = {}
+        for name in ("top", "bottom"):
+            pts, strengths = detect_saddles(img, masks[name], max_corners=4 * g)
+            lattice = grow_grid(pts, nx, ny, strengths)
+            if lattice is None:
+                return None
+            grids[name] = lattice
+        resolved = resolve_symmetry(rig, grid_pts, grids["top"], grids["bottom"])
+        if resolved is None:
+            return None
+        gt_, gb_ = resolved
+        uv_t[bi], w_t[bi] = gt_[:, :2], gt_[:, 2]
+        uv_b[bi], w_b[bi] = gb_[:, :2], gb_[:, 2]
+    return BoardObservations(
+        pts_board=grid_pts,
+        uv_top=jnp.asarray(uv_t), w_top=jnp.asarray(w_t),
+        uv_bottom=jnp.asarray(uv_b), w_bottom=jnp.asarray(w_b))
