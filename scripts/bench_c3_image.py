@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Amortized on-chip per-frame rate for the c3 image-native pipeline.
+"""Amortized on-chip per-frame rate for an image-native pipeline config
+(default c3; pass --config configs/c2_chip_ba.json for the c2 row).
 
 Measures the two in-device legs separately (the CLI's wall number includes
 rendering, checkpointing and per-chunk RPC): frontend extraction at K=2048
@@ -42,7 +43,14 @@ def timed(fn, *args):
 
 
 def main():
-    cfg = load_pipeline_config("configs/c3_host_pgo.json")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/c3_host_pgo.json",
+                    help="preset whose frontend/ransac sizes to measure "
+                         "(e.g. configs/c2_chip_ba.json for the c2 row)")
+    args = ap.parse_args()
+    cfg = load_pipeline_config(args.config)
     rig = default_rig(image_size=768)
     room = RoomScene(radius=3.0, floor_z=-1.2, ceiling_z=1.6, texture_scale=2.0)
     poses = make_trajectory(F, radius=0.4)
@@ -74,6 +82,7 @@ def main():
     t_re = timed(replay_block, state, obs) / F
     per_frame = t_ex + t_re
     print(json.dumps({
+        "config": args.config,
         "K": cfg.frontend.max_features,
         "pano": [cfg.frontend.pano_height, cfg.frontend.pano_width],
         "extract_ms_per_frame": round(t_ex * 1e3, 3),

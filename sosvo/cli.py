@@ -96,6 +96,7 @@ def main(argv=None) -> int:
     ckpt_dir = out / "ckpt"
     log_path = out / "frames.jsonl"
 
+    extract_wall = None  # set by the rendered-images branch below
     source = "images" if args.sequence else (
         args.source or ("images" if cfg.mode == "images" else "obs"))
     rig = default_rig()
@@ -139,6 +140,7 @@ def main(argv=None) -> int:
         poses = make_trajectory(n_frames, radius=0.4)
         scene = scene._replace(poses=poses)
         luts = build_frontend_luts(rig, cfg.frontend)
+        t_extract0 = time.perf_counter()
         # Render + extract in chunks: at c3_long scale (1024 frames) the
         # whole-sequence image stack is ~2.3 GB and a vmapped extract would
         # materialize per-frame frontend intermediates for EVERY frame at
@@ -159,6 +161,8 @@ def main(argv=None) -> int:
                       for f0 in range(0, n_frames + n_pad, chunk_r)]
         obs = jax.tree.map(
             lambda *xs: jnp.concatenate(xs)[:n_frames], *obs_chunks)
+        jax.block_until_ready(obs)
+        extract_wall = time.perf_counter() - t_extract0
     else:
         obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
                                pixel_noise=pixel_noise, desc_flip_prob=desc_flip)
@@ -296,6 +300,8 @@ def main(argv=None) -> int:
     T_vo = T_est  # pre-PGO trajectory (the sharded-vs-single comparison point)
     gt = gt_poses
     n_loops = 0
+    pgo_wall = None
+    t_pgo0 = time.perf_counter()
     if (args.pgo or cfg.pose_graph) and not batched:
         pgo_kwargs = dict(
             min_inliers=cfg.loop_min_inliers,
@@ -325,6 +331,8 @@ def main(argv=None) -> int:
             T_est, n_loops = pgo_refine_trajectory(rig, cfg, obs, T_est,
                                                    **pgo_kwargs)
         n_loops = int(n_loops)
+        jax.block_until_ready(T_est)
+        pgo_wall = time.perf_counter() - t_pgo0
 
     if batched:
         ates = [float(ate_rmse(T_est[s, 1:, :3, 3], gt[s, 1:, :3, 3])[0])
@@ -356,10 +364,18 @@ def main(argv=None) -> int:
         "rpe_r_rad": _round(r_rpe),
         "frames_per_s": round(done * (S if batched else 1) / wall, 2),
         "wall_s": round(wall, 2),
-        "mode": "batched-f2f" if batched else args.mode,
+        "mode": ("batched-ba" if args.mode == "ba" else "batched-f2f")
+        if batched else args.mode,
         "pgo_loops": n_loops,
         "device": str(jax.devices()[0]),
     }
+    if n_loops and not batched and gt_available:
+        # VO-only vs PGO-refined: the loop-closure benefit in one artifact.
+        rmse_vo, _ = ate_rmse(T_vo[1:, :3, 3], gt[1:, :3, 3])
+        report["ate_rmse_vo_m"] = _round(rmse_vo)
+        report["pgo_wall_s"] = round(pgo_wall, 2)
+    if extract_wall is not None:
+        report["extract_wall_s"] = round(extract_wall, 2)
     if batched:
         report["n_sequences"] = S
         report["mesh"] = {"data": dp}
