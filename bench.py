@@ -5,7 +5,8 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Protocol (BASELINE.md): benchmark config c1 workload (10-frame synthetic
 sequence, 512 feature slots, full jitted pipeline: stereo match -> triangulate
--> temporal match -> vmapped RANSAC (rigid + essential) -> bearing refine),
+-> temporal match -> vmapped RANSAC (rigid; essential cross-check on
+questionable frames, utils/config.py:lazy_essential_gate) -> bearing refine),
 replayed via lax.scan. One warm-up call (compile excluded), then the median of
 >= 5 timed replays. `vs_baseline` is value / 30 frames/s -- the reference runs
 "near-real-time" on CPU per its papers (SURVEY.md section 6; no exact published

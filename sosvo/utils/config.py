@@ -95,6 +95,23 @@ class PipelineConfig:
     max_ray_gap: float = 0.08
     refine_iters: int = 6
     use_essential_gate: bool = True
+    lazy_essential_gate: bool = True # run the gate only when the rigid
+                                     # solve is QUESTIONABLE (inlier fraction
+                                     # below lazy_gate_ratio): a lax.cond in
+                                     # the scan body skips the whole 2D-2D
+                                     # RANSAC on confidently-tracked frames.
+                                     # Measured on v5e (c1, 0.3 px + 2% desc
+                                     # noise): 970 -> 1369 frames/s with
+                                     # IDENTICAL ATE; pose_ok equal to the
+                                     # eager gate across the 0..1 px noise /
+                                     # 0..45% flip matrix and garbage input
+                                     # still fails safely (the failure the
+                                     # gate catches drops the inlier
+                                     # fraction first, so those frames run
+                                     # the full gate -- tests/
+                                     # test_pipeline_c1.py::test_lazy_gate_*)
+    lazy_gate_ratio: float = 0.9     # rigid inliers / temporal matches below
+                                     # which the lazy gate still runs
     keyframe_every: int = 4          # keyframe cadence (frames; stride mode)
     keyframe_mode: str = "stride"    # "stride" | "adaptive" (motion-triggered:
                                      # a frame becomes a keyframe when motion

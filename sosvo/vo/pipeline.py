@@ -143,14 +143,36 @@ def step_full(
 
     # --- essential-matrix gate (2D-2D path, SURVEY.md C9; config c1) ---
     if cfg.use_essential_gate:
-        re, R_e, _ = ransac_essential(
-            k_ess, state.prev_rays, rays_curr_m, pair_valid,
-            n_hyps=cfg.ransac.n_hyps,
-            threshold=cfg.ransac.essential_threshold,
-            min_inliers=cfg.ransac.min_inliers,
-        )
-        ess_angle = geodesic_angle(T_cp[:3, :3], R_e)
-        ess_consistent = jnp.where(re.ok, ess_angle < 0.15, True)
+
+        def run_gate(_):
+            re, R_e, _t = ransac_essential(
+                k_ess, state.prev_rays, rays_curr_m, pair_valid,
+                n_hyps=cfg.ransac.n_hyps,
+                threshold=cfg.ransac.essential_threshold,
+                min_inliers=cfg.ransac.min_inliers,
+            )
+            angle = geodesic_angle(T_cp[:3, :3], R_e)
+            return jnp.where(re.ok, angle < 0.15, True), angle
+
+        if cfg.lazy_essential_gate:
+            # Adaptive skip: a confidently-tracked frame (high rigid inlier
+            # fraction) does not pay for the 2D-2D cross-check -- ~0.45 ms
+            # of a ~1 ms frame. lax.cond executes ONE branch at runtime in
+            # the replay scan (under vmap it lowers to select and both run,
+            # which is correct, just not faster). The failure the gate
+            # exists to catch -- a rigid pose biased by triangulation-depth
+            # noise -- drops the inlier fraction first, so questionable
+            # frames still run the full gate (threshold swept in
+            # tests/test_pipeline_c1.py::test_lazy_gate_*).
+            frac = rr.num_inliers.astype(jnp.float32) / jnp.maximum(
+                n_temporal.astype(jnp.float32), 1.0)
+            need = (frac < cfg.lazy_gate_ratio) | ~rr.ok
+            ess_consistent, ess_angle = jax.lax.cond(
+                need, run_gate,
+                lambda _: (jnp.asarray(True), jnp.float32(0.0)),
+                operand=None)
+        else:
+            ess_consistent, ess_angle = run_gate(None)
     else:
         ess_angle = jnp.float32(0.0)
         ess_consistent = jnp.asarray(True)

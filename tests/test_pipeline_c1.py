@@ -18,14 +18,14 @@ from sosvo.vo.pipeline import run_replay, step
 from sosvo.vo.state import init_track_state
 
 
-def _run_c1(pixel_noise=0.0, desc_flip=0.0, n_frames=10, k=512):
+def _run_c1(pixel_noise=0.0, desc_flip=0.0, n_frames=10, k=512, **cfg_kw):
     rig = default_rig()
     scene = make_scene(jax.random.PRNGKey(0), n_frames=n_frames, n_landmarks=4096)
     obs = observe_sequence(
         rig, scene, k, jax.random.PRNGKey(1),
         pixel_noise=pixel_noise, desc_flip_prob=desc_flip,
     )
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(**cfg_kw)
     state = init_track_state(k, jax.random.PRNGKey(2), T0=scene.poses[0])
 
     replay = jax.jit(lambda s, o: run_replay(rig, cfg, s, o))
@@ -99,3 +99,38 @@ def test_tracking_loss_recovery():
     # of two frames, with no blow-up afterwards.
     err7 = float(jnp.linalg.norm(outs.T_world[7, :3, 3] - scene.poses[7, :3, 3]))
     assert err7 < 0.2, err7
+
+
+def test_lazy_gate_matches_eager_on_clean_and_noisy_data():
+    """lazy_essential_gate skips the 2D-2D cross-check on confidently
+    tracked frames; the trajectory must match the eager gate wherever the
+    gate would have passed anyway (every frame here)."""
+    for noise, flips in ((0.0, 0.0), (0.3, 0.02), (1.0, 0.08)):
+        _, outs_e = _run_c1(pixel_noise=noise, desc_flip=flips,
+                            lazy_essential_gate=False)
+        scene, outs_l = _run_c1(pixel_noise=noise, desc_flip=flips,
+                                lazy_essential_gate=True)
+        assert bool(jnp.all(outs_l.pose_ok[1:] == outs_e.pose_ok[1:]))
+        d = float(jnp.max(jnp.abs(outs_l.T_world - outs_e.T_world)))
+        assert d < 1e-5, d
+
+
+def test_lazy_gate_still_fails_safely_on_garbage():
+    """The questionable-frame predicate must fire (or rigid itself fail) on
+    garbage input: identical recovery behavior to the eager gate."""
+    scene, outs = _run_c1(pixel_noise=5.0, desc_flip=0.45,
+                          lazy_essential_gate=True)
+    assert not bool(jnp.any(outs.pose_ok))
+    assert bool(jnp.all(jnp.isfinite(outs.T_world)))
+
+
+def test_lazy_gate_runs_gate_on_questionable_frames():
+    """With the ratio forced to 1.1 the gate can never be skipped: results
+    must be bit-identical to the eager path (proves the cond's run-branch
+    IS the eager gate, not an approximation)."""
+    _, outs_e = _run_c1(pixel_noise=0.3, desc_flip=0.02,
+                        lazy_essential_gate=False)
+    _, outs_l = _run_c1(pixel_noise=0.3, desc_flip=0.02,
+                        lazy_essential_gate=True, lazy_gate_ratio=1.1)
+    assert float(jnp.max(jnp.abs(outs_l.T_world - outs_e.T_world))) == 0.0
+    assert bool(jnp.all(outs_l.ess_angle_err == outs_e.ess_angle_err))
