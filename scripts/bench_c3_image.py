@@ -10,7 +10,11 @@ REPS chained inside one dispatch.
 
 import json
 import statistics
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
