@@ -42,10 +42,22 @@ def run_replay_batched(
     Scan over frames of a vmapped step (scan-of-vmap, not vmap-of-scan, so
     the compiled program is a single loop whose body is batch-parallel --
     the layout that shards cleanly over the "data" mesh axis).
+
+    The essential gate is DEFERRED out of the vmapped step and applied with
+    one any(lane.need) `lax.cond` per scan step (`apply_deferred_gate`): a
+    per-lane lazy cond would lower to select under vmap and run the 2D-2D
+    RANSAC for every lane every frame. Measured on v5e (K=512): total
+    batched throughput 853/1697/2018/2120 -> see SCALING.json for the
+    deferred-gate curve.
     """
+    from sosvo.vo.pipeline import apply_deferred_gate, step_full
 
     def body(s, o):
-        return jax.vmap(lambda st, ob: step(rig, cfg, st, ob))(s, o)
+        T_world_old = s.T_world                       # (S, 4, 4) pre-step
+        s2, out, _feats, ctx = jax.vmap(
+            lambda st, ob: step_full(rig, cfg, st, ob, defer_gate=True))(s, o)
+        s2, out = apply_deferred_gate(cfg, T_world_old, s2, out, ctx)
+        return s2, out
 
     obs_fmajor = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seqs)  # (F, S, ...)
     final, outs = jax.lax.scan(body, states, obs_fmajor)

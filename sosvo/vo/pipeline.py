@@ -17,6 +17,8 @@ core (`sosvo/vo/image_pipeline.py`).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -105,15 +107,51 @@ def stereo_triangulate(rig: OmnistereoRig, obs: FrameObservations, cfg: Pipeline
     return tri.points, obs.desc_top, obs.ray_top, az_t, valid, ray_b
 
 
+class GateCtx(NamedTuple):
+    """Everything the essential gate needs, detached from the step.
+
+    The batched replay hoists ONE gate decision outside its vmap
+    (`any(lane.need)` -> scalar `lax.cond`), which a per-lane cond cannot do
+    -- vmap lowers cond to select and BOTH branches run every frame for
+    every lane. See `apply_deferred_gate`.
+    """
+
+    need: jnp.ndarray        # () bool: this frame wants the cross-check
+    key: jax.Array           # the step's k_ess stream
+    prev_rays: jnp.ndarray   # (K, 3)
+    rays_curr: jnp.ndarray   # (K, 3) temporally matched current rays
+    pair_valid: jnp.ndarray  # (K,)
+    R_rigid: jnp.ndarray     # (3, 3) refined rigid rotation to check against
+
+
+def _gate_check(cfg: PipelineConfig, ctx: GateCtx):
+    """(consistent, angle): the essential cross-check body (SURVEY.md C9)."""
+    re, R_e, _t = ransac_essential(
+        ctx.key, ctx.prev_rays, ctx.rays_curr, ctx.pair_valid,
+        n_hyps=cfg.ransac.n_hyps,
+        threshold=cfg.ransac.essential_threshold,
+        min_inliers=cfg.ransac.min_inliers,
+    )
+    angle = geodesic_angle(ctx.R_rigid, R_e)
+    return jnp.where(re.ok, angle < 0.15, True), angle
+
+
 def step_full(
     rig: OmnistereoRig,
     cfg: PipelineConfig,
     state: TrackState,
     obs: FrameObservations,
-) -> tuple[TrackState, StepOutput, "KeyframeFeatures"]:
+    defer_gate: bool = False,
+):
     """One VO frame; also returns the frame's triangulated features so the
     keyframe/BA layer (`sosvo/vo/keyframes.py`) can consume them without
-    recomputing the frontend."""
+    recomputing the frontend.
+
+    `defer_gate=True` (trace-time flag) skips the essential gate entirely
+    and appends its `GateCtx` to the return, as if every frame were
+    consistent; the caller MUST then run `apply_deferred_gate` on the
+    result before the next step consumes the state (the batched replay does
+    this with one any(need) cond hoisted outside its vmap)."""
     key, k_ransac, k_ess = jax.random.split(state.key, 3)
 
     # --- stereo + triangulation (SURVEY.md SS3.2) ---
@@ -142,40 +180,34 @@ def step_full(
     T_cp = refine_pose_bearings(rr.model, state.prev_points, rays_curr_m, w, iters=cfg.refine_iters)
 
     # --- essential-matrix gate (2D-2D path, SURVEY.md C9; config c1) ---
-    if cfg.use_essential_gate:
-
-        def run_gate(_):
-            re, R_e, _t = ransac_essential(
-                k_ess, state.prev_rays, rays_curr_m, pair_valid,
-                n_hyps=cfg.ransac.n_hyps,
-                threshold=cfg.ransac.essential_threshold,
-                min_inliers=cfg.ransac.min_inliers,
-            )
-            angle = geodesic_angle(T_cp[:3, :3], R_e)
-            return jnp.where(re.ok, angle < 0.15, True), angle
-
+    frac = rr.num_inliers.astype(jnp.float32) / jnp.maximum(
+        n_temporal.astype(jnp.float32), 1.0)
+    gate_ctx = GateCtx(need=(frac < cfg.lazy_gate_ratio) | ~rr.ok,
+                       key=k_ess, prev_rays=state.prev_rays,
+                       rays_curr=rays_curr_m, pair_valid=pair_valid,
+                       R_rigid=T_cp[:3, :3])
+    if defer_gate or not cfg.use_essential_gate:
+        ess_angle = jnp.float32(0.0)
+        ess_consistent = jnp.asarray(True)
+    else:
         if cfg.lazy_essential_gate:
             # Adaptive skip: a confidently-tracked frame (high rigid inlier
             # fraction) does not pay for the 2D-2D cross-check -- ~0.45 ms
             # of a ~1 ms frame. lax.cond executes ONE branch at runtime in
-            # the replay scan (under vmap it lowers to select and both run,
-            # which is correct, just not faster). The failure the gate
-            # exists to catch -- a rigid pose biased by triangulation-depth
-            # noise -- drops the inlier fraction first, so questionable
-            # frames still run the full gate (threshold swept in
-            # tests/test_pipeline_c1.py::test_lazy_gate_*).
-            frac = rr.num_inliers.astype(jnp.float32) / jnp.maximum(
-                n_temporal.astype(jnp.float32), 1.0)
-            need = (frac < cfg.lazy_gate_ratio) | ~rr.ok
+            # the replay scan. The failure the gate exists to catch -- a
+            # rigid pose biased by triangulation-depth noise -- drops the
+            # inlier fraction first, so questionable frames still run the
+            # full gate (threshold swept in tests/test_pipeline_c1.py::
+            # test_lazy_gate_*). Batched callers use `step_full_ctx` +
+            # `apply_deferred_gate` instead: under vmap this cond lowers to
+            # select (both branches every lane); hoisting one any(need)
+            # decision outside the vmap keeps the skip real.
             ess_consistent, ess_angle = jax.lax.cond(
-                need, run_gate,
-                lambda _: (jnp.asarray(True), jnp.float32(0.0)),
-                operand=None)
+                gate_ctx.need, lambda c: _gate_check(cfg, c),
+                lambda c: (jnp.asarray(True), jnp.float32(0.0)),
+                gate_ctx)
         else:
-            ess_consistent, ess_angle = run_gate(None)
-    else:
-        ess_angle = jnp.float32(0.0)
-        ess_consistent = jnp.asarray(True)
+            ess_consistent, ess_angle = _gate_check(cfg, gate_ctx)
 
     pose_ok = rr.ok & ess_consistent
     # On failure hold the pose (identity relative motion) rather than
@@ -204,7 +236,53 @@ def step_full(
     )
     feats = KeyframeFeatures(pts_rig=pts, desc=desc, ray_top=rays,
                              ray_bottom=ray_b, valid=valid)
+    if defer_gate:
+        return new_state, out, feats, gate_ctx
     return new_state, out, feats
+
+
+def apply_deferred_gate(
+    cfg: PipelineConfig,
+    T_world_old: jnp.ndarray,
+    new_state: TrackState,
+    out: StepOutput,
+    ctx: GateCtx,
+):
+    """Run the hoisted essential gate over a BATCH of deferred steps.
+
+    Inputs carry a leading lane axis (`T_world_old` = each lane's pose
+    BEFORE the step). One scalar any(need) `lax.cond` guards the vmapped
+    gate, so a batch where every lane tracks confidently skips the 2D-2D
+    RANSAC entirely -- the per-lane cond inside `step_full` cannot do this
+    (vmap lowers it to select and both branches execute for all lanes).
+    Lanes the gate rejects revert to the identity-hold recovery the inline
+    path applies: pose (and carry) fall back to the pre-step pose.
+    """
+    n_lanes = ctx.need.shape[0]
+
+    def run(c):
+        return jax.vmap(lambda cc: _gate_check(cfg, cc))(c)
+
+    def skip(c):
+        return (jnp.ones((n_lanes,), bool), jnp.zeros((n_lanes,), jnp.float32))
+
+    if cfg.use_essential_gate and cfg.lazy_essential_gate:
+        ess_ok, ess_angle = jax.lax.cond(jnp.any(ctx.need), run, skip, ctx)
+        # Confident lanes keep the skip semantics of the inline path even
+        # when another lane triggered the batch gate: their verdict is True
+        # and their reported angle 0, exactly as the per-frame cond yields.
+        ess_ok = jnp.where(ctx.need, ess_ok, True)
+        ess_angle = jnp.where(ctx.need, ess_angle, 0.0)
+    elif cfg.use_essential_gate:
+        ess_ok, ess_angle = run(ctx)
+    else:
+        ess_ok, ess_angle = skip(ctx)
+
+    pose_ok = out.pose_ok & ess_ok
+    T_world = jnp.where(pose_ok[:, None, None], out.T_world, T_world_old)
+    new_state = new_state._replace(T_world=T_world)
+    out = out._replace(T_world=T_world, pose_ok=pose_ok, ess_angle_err=ess_angle)
+    return new_state, out
 
 
 def step(
