@@ -70,6 +70,26 @@ def step_ba(
     (batched) predicate vmap lowers cond to select and BOTH branches
     (including the window BA solve) would execute every frame."""
     track, out, feats = step_full(rig, cfg, state.track, obs)
+    return step_ba_post(rig, cfg, state, track, out, feats,
+                        ba_fn=ba_fn, is_kf_override=is_kf_override)
+
+
+def step_ba_post(
+    rig: OmnistereoRig,
+    cfg: PipelineConfig,
+    state: BAState,
+    track,
+    out,
+    feats,
+    ba_fn=None,
+    is_kf_override: jnp.ndarray | None = None,
+) -> tuple[BAState, BAStepOutput]:
+    """Keyframe/window-BA stage given an already-computed (and GATED) f2f
+    step result. Split out so the batched replay can run the vmapped f2f
+    core with `defer_gate=True`, resolve the essential gate ONCE per scan
+    step outside the vmap (`pipeline.apply_deferred_gate`), and only then
+    let the keyframe stage consume the post-gate pose -- a keyframe must
+    never be inserted at a pose the gate is about to revert."""
     frame = track.frame_idx - 1  # index of the frame just processed
 
     if is_kf_override is not None:

@@ -95,15 +95,27 @@ def run_replay_ba_batched(
     select and run the BA solve every frame for every lane). Adaptive
     keyframing is per-lane by nature and therefore not supported batched;
     callers get the stride schedule regardless of `cfg.keyframe_mode`.
+
+    The essential gate is likewise deferred out of the vmapped f2f core and
+    resolved once per scan step (`pipeline.apply_deferred_gate`) BEFORE the
+    keyframe stage consumes the pose -- both the gate skip and the keyframe
+    cond stay real conditionals in the batched program.
     """
-    from sosvo.vo.ba_pipeline import step_ba
+    from sosvo.vo.ba_pipeline import step_ba_post
+    from sosvo.vo.pipeline import apply_deferred_gate, step_full
 
     def body(s, o):
         # Lanes are in lockstep: lane 0's frame counter IS the scalar frame.
         frame = s.track.frame_idx[0]
         is_kf = jnp.mod(frame, cfg.keyframe_every) == 0
-        return jax.vmap(lambda st, ob: step_ba(
-            rig, cfg, st, ob, is_kf_override=is_kf))(s, o)
+        T_world_old = s.track.T_world                 # (S, 4, 4) pre-step
+        track2, out, feats, ctx = jax.vmap(
+            lambda st, ob: step_full(rig, cfg, st, ob, defer_gate=True))(
+            s.track, o)
+        track2, out = apply_deferred_gate(cfg, T_world_old, track2, out, ctx)
+        return jax.vmap(lambda st, tr, ou, fe: step_ba_post(
+            rig, cfg, st, tr, ou, fe, is_kf_override=is_kf))(
+            s, track2, out, feats)
 
     obs_fmajor = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seqs)  # (F, S, ...)
     final, outs = jax.lax.scan(body, states, obs_fmajor)
