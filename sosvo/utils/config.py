@@ -93,7 +93,15 @@ class PipelineConfig:
     min_triangulation_angle: float = 0.004
     max_range: float = 30.0
     max_ray_gap: float = 0.08
-    refine_iters: int = 6
+    refine_iters: int = 4            # GN iterations in the bearing refine.
+                                     # Measured on v5e: 45 us/iteration
+                                     # (latency-bound sequential solves), and
+                                     # the ATE sweep over the noise matrix
+                                     # (0..2 px, 0..15% flips) is flat from
+                                     # 3 iterations up (<= 0.25% relative
+                                     # delta at 4 vs 6 everywhere) -- the
+                                     # RANSAC refit init is already inside
+                                     # GN's quadratic basin
     use_essential_gate: bool = True
     lazy_essential_gate: bool = True # run the gate only when the rigid
                                      # solve is QUESTIONABLE (inlier fraction
