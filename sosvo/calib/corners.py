@@ -220,19 +220,26 @@ def resolve_symmetry(rig, grid_pts, g_top: np.ndarray, g_bot: np.ndarray):
     from sosvo.geometry.triangulate import midpoint_triangulate
     from sosvo.sensor.model import lift, viewpoint
 
+    # Lift each view ONCE: a dihedral flip is a pure index permutation of
+    # the detections, so the per-hypothesis work is permuting precomputed
+    # rays, not re-dispatching lift() 16x per board.
+    tops = [_apply_sym(g_top, *s).reshape(-1, 3) for s in _SYMMETRIES]
+    bots = [_apply_sym(g_bot, *s).reshape(-1, 3) for s in _SYMMETRIES]
+    lift_t = [lift(rig.top, jnp.asarray(g[:, :2], jnp.float32)) for g in tops]
+    lift_b = [lift(rig.bottom, jnp.asarray(g[:, :2], jnp.float32)) for g in bots]
+    c_t = viewpoint(rig.top)
+    c_b = viewpoint(rig.bottom)
+
     best = None
-    for st in _SYMMETRIES:
-        gt_ = _apply_sym(g_top, *st).reshape(-1, 3)
-        for sb in _SYMMETRIES:
-            gb_ = _apply_sym(g_bot, *sb).reshape(-1, 3)
+    for gt_, (ray_t, ok_t) in zip(tops, lift_t):
+        for gb_, (ray_b, ok_b) in zip(bots, lift_b):
             w = (gt_[:, 2] * gb_[:, 2]).astype(np.float32)
             if w.sum() < 6:
                 continue
-            ray_t, ok_t = lift(rig.top, jnp.asarray(gt_[:, :2], jnp.float32))
-            ray_b, ok_b = lift(rig.bottom, jnp.asarray(gb_[:, :2], jnp.float32))
-            c_t = jnp.broadcast_to(viewpoint(rig.top), ray_t.shape)
-            c_b = jnp.broadcast_to(viewpoint(rig.bottom), ray_b.shape)
-            tri = midpoint_triangulate(ray_t, ray_b, c_t, c_b)
+            tri = midpoint_triangulate(
+                ray_t, ray_b,
+                jnp.broadcast_to(c_t, ray_t.shape),
+                jnp.broadcast_to(c_b, ray_b.shape))
             ww = jnp.asarray(w) * ok_t * ok_b * tri.valid
             T, _ = umeyama(grid_pts, tri.points, weights=ww)
             fit = jnp.einsum("ij,gj->gi", T[:3, :3], grid_pts) + T[:3, 3]

@@ -126,6 +126,7 @@ def main(argv=None) -> int:
             scene = scene._replace(poses=jnp.tile(
                 jnp.eye(4, dtype=jnp.float32), (n_frames, 1, 1)))
         imgs = jnp.asarray(seq.images)
+        img0 = np.asarray(imgs[0])  # kept for the --viz overlays
         luts = build_frontend_luts(rig, cfg.frontend)
         extract = jax.jit(jax.vmap(lambda im: extract_observations(rig, luts, cfg.frontend, im)))
         obs = extract(imgs)
@@ -163,6 +164,11 @@ def main(argv=None) -> int:
             lambda *xs: jnp.concatenate(xs)[:n_frames], *obs_chunks)
         jax.block_until_ready(obs)
         extract_wall = time.perf_counter() - t_extract0
+        if args.viz:
+            # The chunked pipeline discards the rendered frames (that is the
+            # point -- peak memory); re-render frame 0 for the overlays.
+            img0 = np.asarray(jax.jit(lambda P: render_sequence(rig, P, room))(
+                poses[:1])[0])
     else:
         obs = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
                                pixel_noise=pixel_noise, desc_flip_prob=desc_flip)
@@ -219,6 +225,7 @@ def main(argv=None) -> int:
             replay = jax.jit(lambda s, o: run_replay_batched(rig, cfg, s, o))
             get_T = lambda o: o.T_world                   # (S, F, 4, 4)
             get_vo = lambda o: jax.tree.map(lambda x: x[0], o)  # log sequence 0
+        get_kf = None  # PGO (the keyframe-flag consumer) is non-batched only
         slice_obs = lambda f, hi: jax.tree.map(lambda x: x[:, f:hi], obs)
     else:
         gt_poses = scene.poses
@@ -310,10 +317,15 @@ def main(argv=None) -> int:
         if args.mode == "ba":
             # Hand PGO the scan's ACTUAL keyframe set so it optimizes the
             # same nodes the BA window used (identical to the stride set in
-            # "stride" mode; the whole point in "adaptive" mode).
+            # "stride" mode; the whole point in "adaptive" mode). The flags
+            # must cover EVERY frame: resuming from a checkpoint written
+            # before kf_*.npy existed leaves a prefix gap, and nonzero()
+            # over a short array would hand PGO indices shifted by
+            # start_frame -- silently the wrong node set. Fall back to the
+            # stride schedule in that case.
             kf_flags = np.concatenate(all_kf)
             kf_idx_scan = np.nonzero(kf_flags)[0]
-            if len(kf_idx_scan) >= 2:
+            if len(kf_flags) == n_frames and len(kf_idx_scan) >= 2:
                 pgo_kwargs["kf_idx"] = kf_idx_scan
         if cfg.dist.pgo_shards > 1:
             # Long-trajectory mode (SURVEY.md section 5.7): candidate pairs
@@ -430,14 +442,14 @@ def main(argv=None) -> int:
             from sosvo.vo.pipeline import _match, azimuth_of
 
             o0 = jax.tree.map(lambda x: x[0], obs)
-            keypoint_overlay(out / "keypoints.png", np.asarray(imgs[0]),
+            keypoint_overlay(out / "keypoints.png", img0,
                              np.asarray(o0.uv_top), np.asarray(o0.valid_top),
                              np.asarray(o0.uv_bottom), np.asarray(o0.valid_bottom))
             m = _match(cfg, o0.desc_top, o0.desc_bottom, o0.valid_top,
                        o0.valid_bottom, az_a=azimuth_of(o0.ray_top),
                        az_b=azimuth_of(o0.ray_bottom),
                        band=cfg.frontend.stereo_band_rad)
-            match_overlay(out / "matches.png", np.asarray(imgs[0]),
+            match_overlay(out / "matches.png", img0,
                           np.asarray(o0.uv_top),
                           np.asarray(o0.uv_bottom[m.idx_b]), np.asarray(m.valid))
             artifacts += ["keypoints.png", "matches.png"]
