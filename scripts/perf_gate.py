@@ -44,6 +44,12 @@ def load_phase_budgets() -> tuple[dict, float]:
     the total still squeaks past the ratio gate.
     """
     if not PHASES_ARTIFACT.exists():
+        # Empty budgets silently reduce the gate to the total-rate check —
+        # make the weakening loud (ADVICE r4).
+        print("perf_gate: WARNING: PHASES.json missing — per-phase budget "
+              "checks are DISABLED. Run `python scripts/perf_gate.py "
+              "--record-phases` on the chip to restore them.",
+              file=sys.stderr)
         return {}, 1.4
     rec = json.loads(PHASES_ARTIFACT.read_text())
     headroom = float(rec.get("headroom", 1.4))

@@ -212,6 +212,11 @@ def main(argv=None) -> int:
         if args.mode == "ba":
             # Batched windowed-BA replay (B:10's full contract: the batched
             # path runs the shared Schur/BA kernels, not just the f2f step).
+            if cfg.keyframe_mode == "adaptive":
+                print("WARNING: batched BA replay forces the lockstep stride "
+                      "keyframe schedule; keyframe_mode='adaptive' is ignored "
+                      "in this mode (per-lane adaptive cadence would desync "
+                      "the vmapped window solve).", file=sys.stderr)
             state0 = init_batched_ba_states(S, cfg, jax.random.PRNGKey(2),
                                             T0=gt_poses[:, 0])
             state0, obs = shard_batched_inputs(mesh, state0, obs)
