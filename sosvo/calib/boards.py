@@ -139,6 +139,9 @@ def fit_rig_from_boards(
     fit_distortion: bool = False,
     fit_misalignment: bool = False,
     fit_xi: bool = True,
+    huber_delta_px: float | None = None,
+    mis_prior_px_per_rad: float | jnp.ndarray | None = None,
+    mis_anchor: jnp.ndarray | None = None,
 ) -> RigCalibResult:
     """Joint LM over both views' intrinsics, the baseline, and board poses.
 
@@ -148,6 +151,31 @@ def fit_rig_from_boards(
     share a near-gauge over a finite elevation band, so fitting both from
     board data alone is ill-posed; freeze xi at its design/prior value when
     freeing distortion (`fit_rig_full_gum` does this).
+
+    `huber_delta_px`: per-corner Huber IRLS scale in pixels. Real corner
+    chains emit occasional gross outliers (a lattice cell grabbing a nearby
+    spurious saddle moves a corner by 10+ px; measured in the calib->VO
+    composition test), and staged fitting with still-frozen distortion sees
+    legitimately huge far-annulus residuals -- under plain L2 either one can
+    drag the fit into a wrong basin (measured: misalignment ran to ~-1.8 rad).
+    IRLS weights are frozen per LM iteration; candidate and current cost are
+    compared under the SAME weights (the `backend/ba.py` IRLS discipline).
+    With robust weighting active, `rms_px`/`rms0_px` are the weighted rms
+    (equal to the plain rms once all residuals are inside delta).
+
+    `mis_prior_px_per_rad`: quadratic prior pulling each view's (mis_rx,
+    mis_ry) toward its INITIALIZATION. The common mode of the two views'
+    misalignment is a near-gauge: rotating both mirror axes together is
+    almost a rigid rotation of the rig, which the free board poses absorb
+    (measured: the unregularized fit parks ~0.12 rad of common-mode mis on
+    both views at equal data cost). Mirrors are mechanically aligned to
+    O(0.01 rad) by design [P2], so a weak prior resolves the gauge while
+    leaving the observable differential misalignment data-driven.
+
+    `mis_anchor`: (4,) [top_rx, top_ry, bot_rx, bot_ry] the prior pulls
+    toward; defaults to THIS call's initialization. Staged recipes pass the
+    ORIGINAL design values so an earlier stage's wrong mis estimate is not
+    re-anchored as truth.
     """
     m = obs.uv_top.shape[0]
     if poses0 is None:
@@ -171,28 +199,55 @@ def fit_rig_from_boards(
 
     n_obs = jnp.maximum(jnp.sum(obs.w_top > 0) + jnp.sum(obs.w_bottom > 0), 1)
 
-    def rms(p):
+    mis_idx = jnp.asarray([9, 10, N_INTR + 9, N_INTR + 10], jnp.int32)
+    mis0 = p0[mis_idx] if mis_anchor is None else jnp.asarray(mis_anchor)
+
+    def corner_sw(p):
+        """(4MG/2,) sqrt-Huber IRLS multiplier per corner observation."""
         r = _residuals(p, rig0, obs).reshape(-1, 2)
-        return jnp.sqrt(jnp.sum(r * r) / n_obs)
+        if huber_delta_px is None:
+            return jnp.ones((r.shape[0],), r.dtype)
+        nrm = jnp.linalg.norm(r, axis=-1)
+        return jnp.sqrt(jnp.minimum(1.0, huber_delta_px / jnp.maximum(nrm, 1e-9)))
+
+    def rms(p, sw):
+        r = _residuals(p, rig0, obs).reshape(-1, 2) * sw[:, None]
+        cost = jnp.sum(r * r)
+        if mis_prior_px_per_rad is not None:
+            d = (p[mis_idx] - mis0) * mis_prior_px_per_rad
+            cost = cost + jnp.sum(d * d)
+        return jnp.sqrt(cost / n_obs)
 
     def body(carry, _):
-        p, lam, cost = carry
-        r = _residuals(p, rig0, obs)
-        J = jax.jacfwd(_residuals)(p, rig0, obs) * move[None, :]
+        p, lam, _ = carry
+        sw = corner_sw(p)  # frozen for this iteration (IRLS)
+
+        def wres(q):
+            r = (_residuals(q, rig0, obs).reshape(-1, 2)
+                 * sw[:, None]).reshape(-1)
+            if mis_prior_px_per_rad is not None:
+                r = jnp.concatenate(
+                    [r, (q[mis_idx] - mis0) * mis_prior_px_per_rad])
+            return r
+
+        cost = rms(p, sw)
+        r = wres(p)
+        J = jax.jacfwd(wres)(p) * move[None, :]
         H = J.T @ J
         # Marquardt scaling: damp by the diagonal so pixels-vs-radians
         # parameter scales don't need hand conditioning.
         H = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
         cand = p - jnp.linalg.solve(H, J.T @ r) * move
-        cand_cost = rms(cand)
+        cand_cost = rms(cand, sw)
         accept = cand_cost < cost
         p_next = jnp.where(accept, cand, p)
         lam_next = jnp.clip(jnp.where(accept, lam / 3.0, lam * 9.0), 1e-10, 1e6)
         return (p_next, lam_next, jnp.where(accept, cand_cost, cost)), accept
 
-    cost0 = rms(p0)
+    cost0 = rms(p0, corner_sw(p0))
     (p_fin, _, cost_fin), accepted = jax.lax.scan(
         body, (p0, jnp.asarray(lam0, jnp.float32), cost0), None, length=iters)
+    cost_fin = rms(p_fin, corner_sw(p_fin))
     top, bottom, poses = _unpack(p_fin, rig0, m)
     return RigCalibResult(rig=rig0._replace(top=top, bottom=bottom),
                           poses=poses, rms_px=cost_fin, rms0_px=cost0,
@@ -200,7 +255,8 @@ def fit_rig_from_boards(
 
 
 def fit_rig_full_gum(rig0: OmnistereoRig, obs: BoardObservations,
-                     iters: int = 30) -> RigCalibResult:
+                     iters: int = 30,
+                     huber_delta_px: float | None = 2.0) -> RigCalibResult:
     """Staged full-GUM calibration: the recipe that converges in practice.
 
     Freeing all GUM terms at once from a zero init stalls in an xi/k1-coupled
@@ -215,12 +271,59 @@ def fit_rig_full_gum(rig0: OmnistereoRig, obs: BoardObservations,
     noise floor (measured ~0.004 px on clean synthetic boards) with
     identifiable distortion/misalignment parameters.
     """
-    r1 = fit_rig_from_boards(rig0, obs, iters=iters, fit_misalignment=True,
-                             fit_xi=False)
-    r2 = fit_rig_from_boards(r1.rig, obs, poses0=r1.poses, iters=iters,
-                             fit_distortion=True, fit_misalignment=True,
-                             fit_xi=False)
-    r3 = fit_rig_from_boards(r2.rig, obs, poses0=r2.poses, iters=iters + 10,
-                             fit_distortion=True, fit_misalignment=True,
-                             fit_xi=False)
-    return r3._replace(rms0_px=r1.rms0_px)
+    hd = huber_delta_px
+
+    # The prior anchors at the DESIGN misalignment (rig0's), not each
+    # stage's possibly-wrong intermediate estimate.
+    anchor = jnp.stack([rig0.top.mis_rx, rig0.top.mis_ry,
+                        rig0.bottom.mis_rx, rig0.bottom.mis_ry])
+
+    def staged(first_kw: dict) -> RigCalibResult:
+        r1 = fit_rig_from_boards(rig0, obs, iters=iters, fit_xi=False,
+                                 huber_delta_px=None if hd is None else 2 * hd,
+                                 mis_prior_px_per_rad=30.0,
+                                 mis_anchor=anchor, **first_kw)
+        r2 = fit_rig_from_boards(r1.rig, obs, poses0=r1.poses, iters=iters,
+                                 fit_distortion=True, fit_misalignment=True,
+                                 fit_xi=False, huber_delta_px=hd,
+                                 mis_prior_px_per_rad=30.0,
+                                 mis_anchor=anchor)
+        r3 = fit_rig_from_boards(r2.rig, obs, poses0=r2.poses,
+                                 iters=iters + 10,
+                                 fit_distortion=True, fit_misalignment=True,
+                                 fit_xi=False, huber_delta_px=hd,
+                                 mis_prior_px_per_rad=30.0,
+                                 mis_anchor=anchor)
+        # NOISE-ADAPTIVE final polish: the right prior strength scales with
+        # the data's residual noise (a Bayesian prior against measurement
+        # variance). Clean observations (rms ~ 1e-3 px) relax the prior so
+        # the weakly-observable common-mode misalignment is data-driven
+        # (measured recoverable to 2e-4 rad with 18 diverse boards); noisy
+        # real-chain observations (rms ~ 2.5 px) keep it strong so outlier
+        # corners cannot push the near-gauge mode off (measured runaway to
+        # 0.07 rad at a weak fixed prior).
+        w4 = jnp.clip(12.0 * r3.rms_px, 1.0, 100.0)
+        r4 = fit_rig_from_boards(r3.rig, obs, poses0=r3.poses, iters=iters,
+                                 fit_distortion=True, fit_misalignment=True,
+                                 fit_xi=False, huber_delta_px=hd,
+                                 mis_prior_px_per_rad=w4,
+                                 mis_anchor=anchor)
+        return r4._replace(rms0_px=r1.rms0_px)
+
+    # MULTI-START over the stage-1 ordering; keep the lower final rms.
+    # Mis-first converges on mild perturbations (the original recipe), but
+    # with strong unmodeled radial distortion stage 1 absorbs the radial
+    # field into misalignment and stalls in that basin (measured on the
+    # calib->VO composition: mis ran to ~0.15 rad, fx off 8%); distortion-
+    # first converges there and vice-versa stalls on the clean case
+    # (measured 0.06 vs 0.004 px). Calibration is offline -- run both.
+    ra = staged(dict(fit_distortion=True))
+    rb = staged(dict(fit_misalignment=True))
+    better_a = ra.rms_px <= rb.rms_px
+
+    def pick(a, b):
+        if not isinstance(a, jnp.ndarray):  # static leaves (image size ints)
+            return a
+        return jnp.where(better_a, a, b)
+
+    return jax.tree.map(pick, ra, rb)

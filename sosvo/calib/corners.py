@@ -177,19 +177,44 @@ def grow_grid(pts: np.ndarray, nx: int, ny: int,
     # Strongest (nx, ny) subwindow over BOTH orientations (the border ring
     # can pad the lattice square -- e.g. a 4x5 true block inside 6x6 -- so
     # the transpose decision belongs to the window search, not the raw dims).
+    #
+    # Scoring (three measured failure modes shaped this):
+    #   + count of STRONG cells -- true X-corners cluster ~4x stronger than
+    #     the pattern-border T-junction saddles (0.012-0.013 vs 0.003);
+    #   - penalty for WEAK-filled cells: a border saddle inside the window
+    #     means the window overruns the pattern edge (the border row sits
+    #     exactly one square outside the inner corners, ON the board plane,
+    #     so no downstream geometric check can catch the mislabeling);
+    #   o the search range is PADDED one cell beyond the grown extent: when
+    #     a whole corner row is clipped by the annulus mask (measured on a
+    #     board at the elevation limit), the correct window extends into
+    #     empty cells on the clipped side -- empty must beat border-filled,
+    #     and the pad makes that window exist at all.
+    member_s = s_full[s_full > 0]
+    thr = 0.6 * float(np.median(member_s)) if member_s.size else 0.0
+    total_s = float(s_full.sum()) + 1e-12
+    pad = 1
+    sp = np.zeros((di + 2 * pad, dj + 2 * pad))
+    sp[pad:pad + di, pad:pad + dj] = s_full
+    fp = np.zeros((di + 2 * pad, dj + 2 * pad, 3))
+    fp[pad:pad + di, pad:pad + dj] = full
     best = None
     for wx, wy, transpose in ((nx, ny, False), (ny, nx, True)):
-        if di < wx or dj < wy:
+        if di + 2 * pad < wx or dj + 2 * pad < wy:
             continue
-        for oi in range(di - wx + 1):
-            for oj in range(dj - wy + 1):
-                s = s_full[oi:oi + wx, oj:oj + wy].sum()
+        for oi in range(di + 2 * pad - wx + 1):
+            for oj in range(dj + 2 * pad - wy + 1):
+                swin = sp[oi:oi + wx, oj:oj + wy]
+                strong = swin > thr
+                weak = (swin > 0) & ~strong
+                s = (float(strong.sum()) - 0.25 * float(weak.sum())
+                     + 0.5 * swin.sum() / total_s)
                 if best is None or s > best[0]:
                     best = (s, oi, oj, wx, wy, transpose)
     if best is None:
         return None
     _, oi, oj, wx, wy, transpose = best
-    out = full[oi:oi + wx, oj:oj + wy]
+    out = fp[oi:oi + wx, oj:oj + wy]
     if transpose:
         out = np.swapaxes(out, 0, 1)
     if out[..., 2].sum() < 0.8 * nx * ny:
@@ -213,7 +238,14 @@ def resolve_symmetry(rig, grid_pts, g_top: np.ndarray, g_bot: np.ndarray):
     stereo geometry supports: triangulate corners seen in both views and
     Umeyama-fit them to the known board grid; the true (proper) assignment
     fits to sub-mm, reflected (improper) ones cannot (Umeyama returns a
-    proper rotation by construction)."""
+    proper rotation by construction).
+
+    Returns (top grid, bottom grid, residual) where `residual` is the
+    weighted mean-squared 3D fit error (m^2) of the winning hypothesis --
+    a per-board QUALITY score. A lattice that grew off the board edge onto
+    spurious saddles (measured: a one-cell shift in the low-resolution
+    bottom view) still wins the ranking but cannot fit the rigid grid;
+    callers gate on the residual to drop such boards."""
     import jax.numpy as jnp
 
     from sosvo.geometry.align import umeyama
@@ -250,7 +282,7 @@ def resolve_symmetry(rig, grid_pts, g_top: np.ndarray, g_bot: np.ndarray):
                 best = (res, gt_, gb_)
     if best is None:
         return None
-    return best[1], best[2]
+    return best[1], best[2], best[0]
 
 
 def board_observations_from_images(
@@ -260,13 +292,25 @@ def board_observations_from_images(
     ny: int = 4,
     square: float = 0.07,
     erode_annulus: int = 4,
+    board_residual_ratio: float = 4.0,
 ) -> BoardObservations | None:
     """(M, H, W) raw omni board captures -> BoardObservations, or None if
-    any board fails detection in either view.
+    NO board passes detection + quality gating.
 
     Each image contains the SAME board twice (inner annulus = bottom mirror,
     outer = top); detection runs per view on the annulus-masked image so the
     two lattices never merge across the view boundary.
+
+    Boards whose winning symmetry hypothesis fits the rigid grid worse than
+    `board_residual_ratio` x the median board's residual are DROPPED, not
+    fatal: a lattice that grew one cell off the board edge is a coherent
+    20-corner outlier that robust per-corner weighting cannot reject
+    (measured: it dragged the bottom view's fit to fx +33%, z_offset -0.28).
+    The gate is RELATIVE because the absolute residual floor scales with how
+    wrong the prior rig is (the prior is all a real calibration run has);
+    measured separation: good boards 2e-4..1e-3 m^2, shifted lattices
+    5e-3..2e-2 under a prior ~30 px off. Real calibration sessions simply
+    discard such captures.
     """
     import jax.numpy as jnp
     from scipy.ndimage import binary_erosion
@@ -281,26 +325,35 @@ def board_observations_from_images(
 
     grid_pts = make_board_grid(nx, ny, square)
     g = nx * ny
-    m_boards = images.shape[0]
-    uv_t = np.zeros((m_boards, g, 2), np.float32)
-    w_t = np.zeros((m_boards, g), np.float32)
-    uv_b = np.zeros((m_boards, g, 2), np.float32)
-    w_b = np.zeros((m_boards, g), np.float32)
-    for bi, img in enumerate(np.asarray(images)):
+    cands = []
+    for img in np.asarray(images):
         grids = {}
         for name in ("top", "bottom"):
             pts, strengths = detect_saddles(img, masks[name], max_corners=4 * g)
-            lattice = grow_grid(pts, nx, ny, strengths)
-            if lattice is None:
-                return None
-            grids[name] = lattice
+            grids[name] = grow_grid(pts, nx, ny, strengths)
+        if grids["top"] is None or grids["bottom"] is None:
+            continue  # board dropped
         resolved = resolve_symmetry(rig, grid_pts, grids["top"], grids["bottom"])
         if resolved is None:
-            return None
-        gt_, gb_ = resolved
-        uv_t[bi], w_t[bi] = gt_[:, :2], gt_[:, 2]
-        uv_b[bi], w_b[bi] = gb_[:, :2], gb_[:, 2]
+            continue
+        cands.append(resolved)
+    if not cands:
+        return None
+    med = float(np.median([res for _, _, res in cands]))
+    kept = [(gt_, gb_) for gt_, gb_, res in cands
+            if res <= board_residual_ratio * max(med, 1e-12)]
+    if not kept:
+        return None
+    uv_t = [gt_[:, :2] for gt_, _ in kept]
+    w_t = [gt_[:, 2] for gt_, _ in kept]
+    uv_b = [gb_[:, :2] for _, gb_ in kept]
+    w_b = [gb_[:, 2] for _, gb_ in kept]
+    # Only surviving boards are kept (dropped ones would otherwise leave
+    # zero-weight pose blocks whose garbage closed-form inits can reach the
+    # residuals as NaN * 0).
     return BoardObservations(
         pts_board=grid_pts,
-        uv_top=jnp.asarray(uv_t), w_top=jnp.asarray(w_t),
-        uv_bottom=jnp.asarray(uv_b), w_bottom=jnp.asarray(w_b))
+        uv_top=jnp.asarray(np.stack(uv_t), jnp.float32),
+        w_top=jnp.asarray(np.stack(w_t), jnp.float32),
+        uv_bottom=jnp.asarray(np.stack(uv_b), jnp.float32),
+        w_bottom=jnp.asarray(np.stack(w_b), jnp.float32))

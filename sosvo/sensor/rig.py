@@ -82,6 +82,31 @@ def default_rig(image_size: int = 768, baseline: float = 0.12) -> OmnistereoRig:
     )
 
 
+def scale_rig(rig: OmnistereoRig, factor: float) -> OmnistereoRig:
+    """The SAME physical sensor expressed at a different image resolution.
+
+    Calibration captures are typically shot at higher resolution than the
+    runtime replay (e.g. 1536 vs 768; SURVEY.md C16 -> C3 handoff): pinhole
+    intrinsics scale linearly with image size under the half-pixel-center
+    convention (u' = (u + 0.5) * factor - 0.5), while xi, the distortion
+    terms (normalized-plane), misalignment, elevations, and the metric
+    baseline are resolution-invariant.
+    """
+
+    def scale_view(v: ViewParams) -> ViewParams:
+        f = jnp.float32(factor)
+        return v._replace(
+            fx=v.fx * f, fy=v.fy * f,
+            cx=(v.cx + 0.5) * f - 0.5, cy=(v.cy + 0.5) * f - 0.5,
+        )
+
+    return rig._replace(
+        top=scale_view(rig.top), bottom=scale_view(rig.bottom),
+        image_height=int(round(rig.image_height * factor)),
+        image_width=int(round(rig.image_width * factor)),
+    )
+
+
 def project_rig(rig: OmnistereoRig, pts_rig: jnp.ndarray):
     """Project rig-frame points through both views.
 
