@@ -64,6 +64,10 @@ def main() -> int:
     scene = make_scene(jax.random.PRNGKey(0), n_frames=N_KF, n_landmarks=16384)
     obs_kf = observe_sequence(rig, scene, K, jax.random.PRNGKey(1),
                               pixel_noise=0.3, desc_flip_prob=0.02)
+    # Drain the async scene/observation queue BEFORE the first timer: the
+    # first timed stage otherwise absorbs the whole data-generation pipeline
+    # (measured: "kf_features first 55 s" that was really observe_sequence).
+    obs_kf = jax.block_until_ready(obs_kf)
 
     out = {"n_kf": N_KF, "k": K, "m_candidates": M, "device": str(jax.devices()[0])}
     phases = {}

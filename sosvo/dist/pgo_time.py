@@ -207,8 +207,17 @@ def _gn_step(g: TimeShardedGraph, lam, axis_name: str, cg_iters: int,
     diag_add = lam + GAUGE_PRIOR * _clamp_loc(g, axis_name)       # (n_loc,)
     D_blk = D_blk + diag_add[:, None, None] * jnp.eye(6, dtype=g.X.dtype)
 
+    # Invert the block-diagonal ONCE (closed-form unrolled-Cholesky SPD
+    # inverse, sosvo/backend/schur.py) instead of a batched LU solve inside
+    # every PCG iteration: the (n_loc, 6, 6) jnp.linalg.solve lowers to
+    # XLA's blocked-loop kernel and dominated the whole time-sharded solve
+    # (measured 3.9 s of a 3.9 s c3_long PGO dispatch, LOOP_PHASES.json r5).
+    from sosvo.backend.schur import inv6x6_spd
+
+    D_inv = inv6x6_spd(D_blk)
+
     def precond(v):
-        return jnp.linalg.solve(D_blk, v[..., None])[..., 0]
+        return jnp.einsum("nij,nj->ni", D_inv, v)
 
     def psum_dot(a, c):
         return jax.lax.psum(jnp.sum(a * c), axis_name)
@@ -274,6 +283,23 @@ def pgo_solve_time_sharded(
     n_axis = mesh.shape[axis_name]
     if g.X.shape[0] % n_axis != 0:
         raise ValueError(f"N={g.X.shape[0]} not divisible by axis size {n_axis}")
+    fn = _jitted_solver(mesh, axis_name, iters, lam0, cg_iters, robust,
+                        robust_delta)
+    return fn(g)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_solver(mesh, axis_name, iters, lam0, cg_iters, robust,
+                   robust_delta):
+    """One jitted shard_map program per (mesh, solver-config) key.
+
+    Building the shard_map + jit closure INSIDE the solve meant every call
+    retraced and re-lowered the whole program: ~3 s per call at c3_long
+    scale regardless of iters/cg_iters, while the solve itself executes in
+    milliseconds (measured r5 -- the entire "PGO solve 3.9 s" phase in
+    LOOP_PHASES.json was this). Mesh and the config scalars are hashable,
+    so an lru_cache turns repeat solves into plain jit-cache hits.
+    """
     time_spec = TimeShardedGraph(
         X=P(axis_name), node_valid=P(axis_name),
         T_odo=P(axis_name), w_odo=P(axis_name),
@@ -288,4 +314,4 @@ def pgo_solve_time_sharded(
         out_specs=TimePGOResult(X=P(axis_name), cost=P(), cost0=P(), accepted=P()),
         check_vma=False,
     )
-    return jax.jit(fn)(g)
+    return jax.jit(fn)
