@@ -52,7 +52,9 @@ def chip_saturation():
     cfg = PipelineConfig()
     rows = []
     base = None
-    for S in (1, 2, 4, 8):
+    # 16/32-sequence rows find the chip-saturation KNEE (VERDICT r4 #6): the
+    # honest speed-of-light frames/s/chip headline is the saturated number.
+    for S in (1, 2, 4, 8, 16, 32):
         keys = jax.random.split(jax.random.PRNGKey(0), S)
         scenes = [make_scene(kk, n_frames=N_FRAMES, n_landmarks=4096) for kk in keys]
         obs = jax.tree.map(
@@ -90,6 +92,56 @@ def chip_saturation():
             "K": K, "n_frames": N_FRAMES, "rows": rows}
 
 
+def chip_saturation_ba():
+    """Batched WINDOWED-BA saturation: the same curve with the keyframe map
+    + Schur window solves in the loop (B:10's full contract)."""
+    from sosvo.sensor.rig import default_rig
+    from sosvo.synth.scene import make_scene, observe_sequence
+    from sosvo.utils.config import PipelineConfig
+    from sosvo.vo.batched import init_batched_ba_states, run_replay_ba_batched
+
+    rig = default_rig()
+    cfg = PipelineConfig()
+    rows = []
+    base = None
+    for S in (1, 4, 8, 16):
+        keys = jax.random.split(jax.random.PRNGKey(0), S)
+        scenes = [make_scene(kk, n_frames=N_FRAMES, n_landmarks=4096) for kk in keys]
+        obs = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[observe_sequence(rig, sc, K, kk, pixel_noise=0.3, desc_flip_prob=0.02)
+              for sc, kk in zip(scenes, keys)],
+        )
+        states = init_batched_ba_states(S, cfg, jax.random.PRNGKey(1),
+                                        T0=jnp.stack([sc.poses[0] for sc in scenes]))
+
+        def block(s0, o):
+            def body(_, s):
+                fin, outs = run_replay_ba_batched(rig, cfg, s, o)
+                eps = (jnp.sum(outs.vo.T_world) * jnp.float32(1e-38)).astype(jnp.float32)
+                return s._replace(track=s.track._replace(
+                    T_world=s.track.T_world + eps))
+            return jax.lax.fori_loop(0, REPS, body, s0)
+
+        fn = jax.jit(block)
+        jax.block_until_ready(fn(states, obs))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(states, obs))
+            ts.append(time.perf_counter() - t0)
+        t = statistics.median(ts) / REPS
+        fps = S * N_FRAMES / t
+        if base is None:
+            base = fps
+        rows.append({"sequences": S, "frames_per_s_total": round(fps, 1),
+                     "speedup_vs_1seq": round(fps / base, 2)})
+    return {"leg": "chip-saturation-windowed-ba", "backend": jax.default_backend(),
+            "device": str(jax.devices()[0].device_kind),
+            "K": K, "n_frames": N_FRAMES,
+            "window": 5, "keyframe_every": 4, "rows": rows}
+
+
 def cpu_mesh_mechanics():
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
@@ -107,6 +159,7 @@ def cpu_mesh_mechanics():
 
 def main():
     report = {"chip_saturation": chip_saturation(),
+              "chip_saturation_ba": chip_saturation_ba(),
               "cpu_mesh": cpu_mesh_mechanics()}
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.json"), "w") as f:
         json.dump(report, f, indent=2)

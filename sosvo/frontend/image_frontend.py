@@ -12,11 +12,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from sosvo.frontend.descriptor import describe, describe_sift, orientation
 from sosvo.frontend.detect import detect, gaussian_smooth
-from sosvo.frontend.panorama import PanoGeometry, build_pano_geometry, pano_ray, warp_panorama
+from sosvo.frontend.panorama import (PanoGeometry, build_pano_geometry,
+                                     pano_ray, warp_panorama,
+                                     warp_panorama_stacked)
 from sosvo.sensor.model import project
 from sosvo.sensor.rig import OmnistereoRig
 from sosvo.synth.scene import FrameObservations
@@ -59,24 +62,15 @@ def extract_observations(
         h, w = img.shape
         return img.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
 
-    def run_view(view, geom: PanoGeometry):
-        pano = warp_panorama(image, geom)
-        if cfg.descriptor == "akaze":
-            # AKAZE option (SURVEY.md C6): nonlinear scale space + Hessian
-            # detection + M-LDB bits. Its own diffusion levels subsume the
-            # linear pyramid, so n_scales is ignored on this path; the packed
-            # uint32 output feeds the same Hamming matcher as BRIEF.
-            from sosvo.frontend.akaze import extract_akaze
+    def run_view_pano(pano, view, geom_valid, geom: PanoGeometry):
+        """Detect/describe/lift one already-warped panorama.
 
-            kps, desc = extract_akaze(pano, k, patch=cfg.descriptor_patch,
-                                      threshold=cfg.detect_threshold * 1e-2,
-                                      nms_radius=cfg.nms_grid)
-            rays = pano_ray(geom.height, geom.width, geom.min_elevation,
-                            geom.max_elevation, kps.rows, kps.cols)
-            uv, _ = project(view, rays)
-            lut_ok = geom.valid[kps.rows.astype(jnp.int32),
-                                kps.cols.astype(jnp.int32)]
-            return uv, rays, desc, kps.valid & lut_ok
+        `geom_valid` is the view's (H, W) valid mask passed as a traced
+        array (vmappable); the remaining PanoGeometry fields used here are
+        STATIC scalars shared by both views (`build_frontend_luts` gives
+        both panoramas the common stereo-overlap elevation band), which is
+        what makes the two-view vmap below legal.
+        """
         # K feature slots split across pyramid octaves (n_scales=1: all at
         # full resolution). Coarse-level keypoints are detected AND described
         # on the downsampled panorama (scale invariance, like ORB's per-level
@@ -113,15 +107,67 @@ def extract_observations(
         cols = jnp.concatenate(cols_l)
         valid = jnp.concatenate(ok_l)
         desc = jnp.concatenate(desc_l, axis=0)
-        rays = pano_ray(geom.height, geom.width, geom.min_elevation, geom.max_elevation,
-                        rows, cols)
+        rays = pano_ray(geom.height, geom.width, geom.min_elevation,
+                        geom.max_elevation, rows, cols)
         uv, _ = project(view, rays)
         # Keypoints whose pano cell has no raw-image support are invalid.
-        lut_ok = geom.valid[rows.astype(jnp.int32), cols.astype(jnp.int32)]
+        lut_ok = geom_valid[rows.astype(jnp.int32), cols.astype(jnp.int32)]
         return uv, rays, desc, valid & lut_ok
 
-    uv_t, ray_t, desc_t, ok_t = run_view(rig.top, luts.top)
-    uv_b, ray_b, desc_b, ok_b = run_view(rig.bottom, luts.bottom)
+    def run_view(view, geom: PanoGeometry):
+        pano = warp_panorama(image, geom)
+        if cfg.descriptor == "akaze":
+            # AKAZE option (SURVEY.md C6): nonlinear scale space + Hessian
+            # detection + M-LDB bits. Its own diffusion levels subsume the
+            # linear pyramid, so n_scales is ignored on this path; the packed
+            # uint32 output feeds the same Hamming matcher as BRIEF.
+            from sosvo.frontend.akaze import extract_akaze
+
+            kps, desc = extract_akaze(pano, k, patch=cfg.descriptor_patch,
+                                      threshold=cfg.detect_threshold * 1e-2,
+                                      nms_radius=cfg.nms_grid)
+            rays = pano_ray(geom.height, geom.width, geom.min_elevation,
+                            geom.max_elevation, kps.rows, kps.cols)
+            uv, _ = project(view, rays)
+            lut_ok = geom.valid[kps.rows.astype(jnp.int32),
+                                kps.cols.astype(jnp.int32)]
+            return uv, rays, desc, kps.valid & lut_ok
+        raise AssertionError("run_view is the akaze-only path")
+
+    same_band = (
+        luts.top.height == luts.bottom.height
+        and luts.top.width == luts.bottom.width
+        and luts.top.min_elevation == luts.bottom.min_elevation
+        and luts.top.max_elevation == luts.bottom.max_elevation)
+    if cfg.descriptor == "akaze" or not same_band:
+        if cfg.descriptor == "akaze":
+            uv_t, ray_t, desc_t, ok_t = run_view(rig.top, luts.top)
+            uv_b, ray_b, desc_b, ok_b = run_view(rig.bottom, luts.bottom)
+        else:
+            # Hand-built LUTs with differing bands: sequential per-view path.
+            uv_t, ray_t, desc_t, ok_t = run_view_pano(
+                warp_panorama(image, luts.top), rig.top, luts.top.valid,
+                luts.top)
+            uv_b, ray_b, desc_b, ok_b = run_view_pano(
+                warp_panorama(image, luts.bottom), rig.bottom,
+                luts.bottom.valid, luts.bottom)
+    else:
+        # BOTH views batched through one program (VERDICT r4 #7): the warp
+        # shares its quad tables and gathers both footprint sets at once,
+        # and the smooth/Harris/NMS/top-k/describe stream runs vmapped over
+        # the 2-view axis -- at pano sizes (~0.5 MB/op) per-kernel overhead
+        # is a large fraction of the extract wall, so one kernel stream for
+        # two views beats two sequential single-view streams.
+        panos = warp_panorama_stacked(image, (luts.top, luts.bottom))
+        views2 = jax.tree.map(lambda a, b: jnp.stack([jnp.asarray(a),
+                                                      jnp.asarray(b)]),
+                              rig.top, rig.bottom)
+        valid2 = jnp.stack([luts.top.valid, luts.bottom.valid])
+        uv2, ray2, desc2, ok2 = jax.vmap(
+            lambda p, v, gv: run_view_pano(p, v, gv, luts.top))(
+            panos, views2, valid2)
+        (uv_t, ray_t, desc_t, ok_t) = (uv2[0], ray2[0], desc2[0], ok2[0])
+        (uv_b, ray_b, desc_b, ok_b) = (uv2[1], ray2[1], desc2[1], ok2[1])
     return FrameObservations(
         uv_top=uv_t,
         uv_bottom=uv_b,

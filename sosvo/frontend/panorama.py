@@ -129,6 +129,15 @@ def warp_panorama(image: jnp.ndarray, geom: PanoGeometry) -> jnp.ndarray:
     The restructure itself is strided slices + one copy (~2.3 MB), which
     XLA streams at HBM rate -- negligible next to the gather savings.
     """
+    q = jnp.take(_quad_tables(image), geom.idx_r0, axis=0)  # (H, W, 4)
+    v0 = q[..., 0] * (1.0 - geom.fu) + q[..., 1] * geom.fu
+    v1 = q[..., 2] * (1.0 - geom.fu) + q[..., 3] * geom.fu
+    pano = v0 * (1.0 - geom.fv) + v1 * geom.fv
+    return jnp.where(geom.valid, pano, 0.0)
+
+
+def _quad_tables(image: jnp.ndarray) -> jnp.ndarray:
+    """(h*w, 4) even+odd phase quad rows of the raw image (see warp docstring)."""
     # Rows shifted up by one: down[v] = image[v+1] (last row clamped, never
     # addressed: the LUT clamps v to <= h-2 + fv).
     down = jnp.concatenate([image[1:], image[-1:]], axis=0)
@@ -139,9 +148,22 @@ def warp_panorama(image: jnp.ndarray, geom: PanoGeometry) -> jnp.ndarray:
                       down[:, 0::2], down[:, 1::2]], axis=-1)   # (h, w/2, 4)
     odd = jnp.stack([shift[:, 0::2], shift[:, 1::2],
                      sdown[:, 0::2], sdown[:, 1::2]], axis=-1)
-    quads = jnp.concatenate([even.reshape(-1, 4), odd.reshape(-1, 4)])
-    q = jnp.take(quads, geom.idx_r0, axis=0)          # (H, W, 4) full footprint
-    v0 = q[..., 0] * (1.0 - geom.fu) + q[..., 1] * geom.fu
-    v1 = q[..., 2] * (1.0 - geom.fu) + q[..., 3] * geom.fu
-    pano = v0 * (1.0 - geom.fv) + v1 * geom.fv
-    return jnp.where(geom.valid, pano, 0.0)
+    return jnp.concatenate([even.reshape(-1, 4), odd.reshape(-1, 4)])
+
+
+def warp_panorama_stacked(image: jnp.ndarray, geoms) -> jnp.ndarray:
+    """(V, H, W) panoramas of several views of the SAME raw image in ONE
+    gather: the quad tables are built once (they depend only on the image)
+    and every view's bilinear footprints fetch from them with stacked
+    indices -- the two-view extract's warp shares the restructure cost and
+    runs one kernel stream instead of two (VERDICT r4 #7)."""
+    quads = _quad_tables(image)
+    idx = jnp.stack([g.idx_r0 for g in geoms])        # (V, H, W)
+    fu = jnp.stack([g.fu for g in geoms])
+    fv = jnp.stack([g.fv for g in geoms])
+    valid = jnp.stack([g.valid for g in geoms])
+    q = jnp.take(quads, idx, axis=0)                  # (V, H, W, 4)
+    v0 = q[..., 0] * (1.0 - fu) + q[..., 1] * fu
+    v1 = q[..., 2] * (1.0 - fu) + q[..., 3] * fu
+    pano = v0 * (1.0 - fv) + v1 * fv
+    return jnp.where(valid, pano, 0.0)

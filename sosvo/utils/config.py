@@ -37,7 +37,14 @@ class FrontendConfig:
     fast_threshold: float = 0.04     # FAST segment-test margin (intensity units)
     oriented: bool = False           # steered BRIEF (rBRIEF) via IC_Angle
     n_scales: int = 1                # pyramid levels (factor-2 octaves); K split across levels
-    descriptor: str = "brief"        # "brief" (256-bit Hamming) | "sift" (128-d float, L2)
+    descriptor: str = "brief"        # "brief" (256-bit Hamming) | "sift"
+                                     # (128-d float, L2). PERF WARNING: "sift"
+                                     # is a PARITY/debug option, not a perf
+                                     # path -- describe is 7.25 ms at K=2048
+                                     # vs 0.41 ms for BRIEF on v5e (17x,
+                                     # BASELINE.md kernel table): its 4x4x8
+                                     # soft-binned histogram is gather-bound.
+                                     # ATE on synthetic scenes matches BRIEF.
     match_max_distance_l2: float = 0.7  # L2 acceptance threshold for unit-norm SIFT descriptors
 
 

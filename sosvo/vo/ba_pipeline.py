@@ -83,6 +83,7 @@ def step_ba_post(
     feats,
     ba_fn=None,
     is_kf_override: jnp.ndarray | None = None,
+    insert_fn=None,
 ) -> tuple[BAState, BAStepOutput]:
     """Keyframe/window-BA stage given an already-computed (and GATED) f2f
     step result. Split out so the batched replay can run the vmapped f2f
@@ -115,7 +116,8 @@ def step_ba_post(
 
     def do_keyframe(m: MapState):
         metric, max_dist = metric_params(cfg.frontend)
-        m = insert_keyframe(
+        ins = insert_fn if insert_fn is not None else insert_keyframe
+        m = ins(
             m, track.T_world, feats, frame,
             max_new=cfg.ba.max_new,
             match_max_distance=max_dist,

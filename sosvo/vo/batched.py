@@ -79,6 +79,8 @@ def run_replay_ba_batched(
     cfg: PipelineConfig,
     states,
     obs_seqs: FrameObservations,
+    ba_fn=None,
+    insert_fn=None,
 ):
     """Replay S sequences in lockstep WITH windowed BA (B:10's full contract:
     the batched path shares the Schur/BA kernels, not just the f2f step).
@@ -100,6 +102,9 @@ def run_replay_ba_batched(
     resolved once per scan step (`pipeline.apply_deferred_gate`) BEFORE the
     keyframe stage consumes the pose -- both the gate skip and the keyframe
     cond stay real conditionals in the batched program.
+
+    `ba_fn` / `insert_fn` override the window solve / keyframe insertion
+    per lane (bench ablation + distributed callers).
     """
     from sosvo.vo.ba_pipeline import step_ba_post
     from sosvo.vo.pipeline import apply_deferred_gate, step_full
@@ -114,7 +119,8 @@ def run_replay_ba_batched(
             s.track, o)
         track2, out = apply_deferred_gate(cfg, T_world_old, track2, out, ctx)
         return jax.vmap(lambda st, tr, ou, fe: step_ba_post(
-            rig, cfg, st, tr, ou, fe, is_kf_override=is_kf))(
+            rig, cfg, st, tr, ou, fe, is_kf_override=is_kf,
+            ba_fn=ba_fn, insert_fn=insert_fn))(
             s, track2, out, feats)
 
     obs_fmajor = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seqs)  # (F, S, ...)
