@@ -64,7 +64,10 @@ def main(argv=None) -> int:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/sosvo_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist even fast-compiling programs: on the remote tunnel a "0.5 s"
+    # compile still costs a round trip, and the long-c3 leg dispatches many
+    # small jitted stages (r5 measurement in sosvo/dist/c3_dist.py).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

@@ -63,47 +63,81 @@ def pgo_refine_trajectory_sharded(
     for the PGO solve. The keyframe count is padded to a multiple of the axis
     size with clamped invalid nodes, so any n_kf works.
     """
+    import os
+    import time as _time
+
+    timing = os.environ.get("SOSVO_TIMING") == "1"
+
+    def _tick(label, t0, *sync):
+        if timing:
+            if sync:
+                jax.block_until_ready(sync)
+            t1 = _time.perf_counter()
+            print(f"[pgo-leg] {label}: {t1 - t0:.2f} s", flush=True)
+            return t1
+        return t0
+
+    t0 = _time.perf_counter()
     n_dev = mesh.shape[DATA_AXIS]
     n_frames = T_world_seq.shape[0]
     if kf_idx is None:
         kf_idx = keyframe_indices(n_frames, cfg.keyframe_every)
     kf_idx = np.asarray(kf_idx)  # the scan's actual keyframe set when given
-    obs_kf = jax.tree.map(lambda x: x[kf_idx], obs_seq)
-    X_kf = jax.vmap(mat_inv)(T_world_seq[kf_idx])
     n_kf = len(kf_idx)
+    kf_idx_j = jnp.asarray(kf_idx)
+    gov = jnp.asarray(governing_map(n_frames, kf_idx))
+
+    # Every host-level stage here is ONE jitted program: eager chains pay a
+    # per-op remote dispatch + a sub-1s compile the persistent cache drops
+    # (measured: 11.4 s keyframe gather + 15.6 s graph build + most of a
+    # 74.6 s detection preamble of the c3_long PGO leg were exactly this).
+    obs_kf, X_kf = jax.jit(lambda o, T: (
+        jax.tree.map(lambda x: x[kf_idx_j], o),
+        jax.vmap(mat_inv)(T[kf_idx_j])))(obs_seq, T_world_seq)
+    t0 = _tick("gather-keyframes", t0, obs_kf, X_kf)
 
     # --- loop edges: candidate pairs sharded over the mesh (P1-DP) ---
     li, lj, T_loop, w_loop = detect_loops_sharded(
         mesh, rig, cfg, obs_kf, min_gap, min_inliers,
         max_candidates=max_candidates)
+    t0 = _tick("detect-loops", t0, T_loop, w_loop)
 
     # --- node/odometry layout for the time-sharded solve (P4-SP) ---
     n_pad = ((n_kf + n_dev - 1) // n_dev) * n_dev
     pad = n_pad - n_kf
-    eye = jnp.eye(4, dtype=X_kf.dtype)
-    X_nodes = jnp.concatenate([X_kf, jnp.tile(eye, (pad, 1, 1))]) if pad else X_kf
-    node_valid = jnp.concatenate(
-        [jnp.ones((n_kf,), bool), jnp.zeros((pad,), bool)])
-    # Odometry slot t constrains (t+1, t) with X_{t+1} X_t^-1; the last real
-    # keyframe and every padding slot carry w = 0 (no successor).
-    T_next = jnp.concatenate([X_nodes[1:], X_nodes[:1]])
-    T_odo = jnp.einsum("nij,njk->nik", T_next, jax.vmap(mat_inv)(X_nodes))
-    w_odo = jnp.where(jnp.arange(n_pad) < n_kf - 1, odom_weight, 0.0).astype(
-        X_kf.dtype)
 
-    g = TimeShardedGraph(
-        X=X_nodes, node_valid=node_valid, T_odo=T_odo, w_odo=w_odo,
-        loop_i=li.astype(jnp.int32), loop_j=lj.astype(jnp.int32),
-        T_loop=T_loop, w_loop=w_loop,
-    )
+    def build_graph(X_kf, li, lj, T_loop, w_loop):
+        eye = jnp.eye(4, dtype=X_kf.dtype)
+        X_nodes = (jnp.concatenate([X_kf, jnp.tile(eye, (pad, 1, 1))])
+                   if pad else X_kf)
+        node_valid = jnp.concatenate(
+            [jnp.ones((n_kf,), bool), jnp.zeros((pad,), bool)])
+        # Odometry slot t constrains (t+1, t) with X_{t+1} X_t^-1; the last
+        # real keyframe and every padding slot carry w = 0 (no successor).
+        T_next = jnp.concatenate([X_nodes[1:], X_nodes[:1]])
+        T_odo = jnp.einsum("nij,njk->nik", T_next, jax.vmap(mat_inv)(X_nodes))
+        w_odo = jnp.where(jnp.arange(n_pad) < n_kf - 1, odom_weight,
+                          0.0).astype(X_kf.dtype)
+        return TimeShardedGraph(
+            X=X_nodes, node_valid=node_valid, T_odo=T_odo, w_odo=w_odo,
+            loop_i=li.astype(jnp.int32), loop_j=lj.astype(jnp.int32),
+            T_loop=T_loop, w_loop=w_loop,
+        )
+
+    g = jax.jit(build_graph)(X_kf, li, lj, T_loop, w_loop)
+    t0 = _tick("build-graph", t0, g)
     res = pgo_solve_time_sharded(mesh, DATA_AXIS, g, iters=iters,
                                  robust=robust, robust_delta=robust_delta)
+    t0 = _tick("pgo-solve", t0, res.X)
 
     # --- rigid per-segment correction (same as the single-device path) ---
-    gov = jnp.asarray(governing_map(n_frames, kf_idx))
-    T_kf_old = T_world_seq[kf_idx]
-    T_kf_new = jax.vmap(mat_inv)(res.X[:n_kf])
-    corr = jnp.einsum("nij,njk->nik", T_kf_new, jax.vmap(mat_inv)(T_kf_old))
-    T_corrected = jnp.einsum("fij,fjk->fik", corr[gov], T_world_seq)
-    n_loops = jnp.sum((w_loop > 0).astype(jnp.int32))
+    def correct(T_world_seq, X_new, w_loop):
+        T_kf_old = T_world_seq[kf_idx_j]
+        T_kf_new = jax.vmap(mat_inv)(X_new[:n_kf])
+        corr = jnp.einsum("nij,njk->nik", T_kf_new, jax.vmap(mat_inv)(T_kf_old))
+        T_corrected = jnp.einsum("fij,fjk->fik", corr[gov], T_world_seq)
+        return T_corrected, jnp.sum((w_loop > 0).astype(jnp.int32))
+
+    T_corrected, n_loops = jax.jit(correct)(T_world_seq, res.X, w_loop)
+    t0 = _tick("correct", t0, T_corrected)
     return T_corrected, n_loops

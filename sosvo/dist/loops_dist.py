@@ -57,15 +57,26 @@ def detect_loops_sharded(
     n_kf = obs_kf.valid_top.shape[0]
     if key is None:
         key = jax.random.PRNGKey(17)
-    feats = _kf_features(rig, cfg, obs_kf)
-    _, desc, _, _, valid = feats
+
+    # ONE jitted program for the whole preamble (keyframe stereo features +
+    # signature prescreen). Calling these eagerly dispatched every op over
+    # the remote-TPU tunnel with its own sub-1s compile that the persistent
+    # cache does not keep -- measured 74.6 s of the c3_long PGO leg's 79 s
+    # wall was this preamble; jitted it reruns in ~0.06 s (LOOP_PHASES.json).
+    def preamble(o):
+        f = _kf_features(rig, cfg, o)
+        if max_candidates is None:
+            return f, None
+        sig = keyframe_signatures(f[1], f[4])
+        return f, select_loop_candidates(sig, min_gap, max_candidates)
+
+    feats, selected = jax.jit(preamble)(obs_kf)
     if max_candidates is None:
         pi, pj = loop_pairs(n_kf, min_gap)
         pi, pj = jnp.asarray(pi), jnp.asarray(pj)
         pair_ok = jnp.ones((pi.shape[0],), bool)
     else:
-        sig = keyframe_signatures(desc, valid)
-        pi, pj, pair_ok = select_loop_candidates(sig, min_gap, max_candidates)
+        pi, pj, pair_ok = selected
 
     m = pi.shape[0]
     m_pad = ((m + n_dev - 1) // n_dev) * n_dev

@@ -239,34 +239,44 @@ def pgo_refine_trajectory(
     if kf_idx is None:
         kf_idx = keyframe_indices(n_frames, cfg.keyframe_every)
     kf_idx = np.asarray(kf_idx)
-    obs_kf = jax.tree.map(lambda x: x[kf_idx], obs_seq)
-    X_kf = jax.vmap(mat_inv)(T_world_seq[kf_idx])
     n_kf = len(kf_idx)
-
-    # Odometry edges between consecutive keyframes from the VO estimates.
-    oi = jnp.arange(1, n_kf, dtype=jnp.int32)
-    oj = jnp.arange(0, n_kf - 1, dtype=jnp.int32)
-    T_odom = jnp.einsum("nij,njk->nik", X_kf[oi], jax.vmap(mat_inv)(X_kf[oj]))
-    w_odom = jnp.full((n_kf - 1,), odom_weight, jnp.float32)
-
-    li, lj, T_loop, w_loop = detect_loops(rig, cfg, obs_kf, min_gap, min_inliers,
-                                          max_candidates=max_candidates)
-
-    g = PoseGraph(
-        X=X_kf,
-        node_valid=jnp.ones((n_kf,), bool),
-        ei=jnp.concatenate([oi, li]),
-        ej=jnp.concatenate([oj, lj]),
-        T_meas=jnp.concatenate([T_odom, T_loop]),
-        w=jnp.concatenate([w_odom, w_loop]),
-    )
-    res = pgo_solve(g, iters=iters, robust=robust, robust_delta=robust_delta)
-
-    # Rigid per-segment correction: frame f governed by keyframe k(f).
     gov = jnp.asarray(governing_map(n_frames, kf_idx))
-    T_kf_old = T_world_seq[kf_idx]                       # world-from-rig (old)
-    T_kf_new = jax.vmap(mat_inv)(res.X)                  # world-from-rig (new)
-    corr = jnp.einsum("nij,njk->nik", T_kf_new, jax.vmap(mat_inv)(T_kf_old))
-    T_corrected = jnp.einsum("fij,fjk->fik", corr[gov], T_world_seq)
-    n_loops = jnp.sum((w_loop > 0).astype(jnp.int32))
-    return T_corrected, n_loops
+    kf_idx_j = jnp.asarray(kf_idx)
+
+    # ONE jitted program end to end: run eagerly, every op here is its own
+    # remote-TPU dispatch with a sub-1s compile the persistent cache drops
+    # (measured on the sharded twin: 74.6 s of the c3_long PGO leg was the
+    # eager preamble alone; see sosvo/dist/loops_dist.py).
+    def leg(obs_seq, T_world_seq):
+        obs_kf = jax.tree.map(lambda x: x[kf_idx_j], obs_seq)
+        X_kf = jax.vmap(mat_inv)(T_world_seq[kf_idx_j])
+
+        # Odometry edges between consecutive keyframes from the VO estimates.
+        oi = jnp.arange(1, n_kf, dtype=jnp.int32)
+        oj = jnp.arange(0, n_kf - 1, dtype=jnp.int32)
+        T_odom = jnp.einsum("nij,njk->nik", X_kf[oi], jax.vmap(mat_inv)(X_kf[oj]))
+        w_odom = jnp.full((n_kf - 1,), odom_weight, jnp.float32)
+
+        li, lj, T_loop, w_loop = detect_loops(rig, cfg, obs_kf, min_gap,
+                                              min_inliers,
+                                              max_candidates=max_candidates)
+
+        g = PoseGraph(
+            X=X_kf,
+            node_valid=jnp.ones((n_kf,), bool),
+            ei=jnp.concatenate([oi, li]),
+            ej=jnp.concatenate([oj, lj]),
+            T_meas=jnp.concatenate([T_odom, T_loop]),
+            w=jnp.concatenate([w_odom, w_loop]),
+        )
+        res = pgo_solve(g, iters=iters, robust=robust, robust_delta=robust_delta)
+
+        # Rigid per-segment correction: frame f governed by keyframe k(f).
+        T_kf_old = T_world_seq[kf_idx_j]                 # world-from-rig (old)
+        T_kf_new = jax.vmap(mat_inv)(res.X)              # world-from-rig (new)
+        corr = jnp.einsum("nij,njk->nik", T_kf_new, jax.vmap(mat_inv)(T_kf_old))
+        T_corrected = jnp.einsum("fij,fjk->fik", corr[gov], T_world_seq)
+        n_loops = jnp.sum((w_loop > 0).astype(jnp.int32))
+        return T_corrected, n_loops
+
+    return jax.jit(leg)(obs_seq, T_world_seq)
