@@ -94,6 +94,19 @@ def main() -> int:
     ba_variant("ba_no_insert", ba_fn=lambda mm: (mm, jnp.float32(0.0)),
                insert_fn=lambda m, *a, **k: m._replace(n_kf=m.n_kf + 1))
 
+    # Pallas kernels under vmap can lower to a per-lane loop; compare the
+    # XLA Schur path for the batched solve.
+    from sosvo.vo.keyframes import run_window_ba
+
+    ba_variant("ba_xla_schur",
+               ba_fn=lambda mm: run_window_ba(rig, mm, iters=cfg.ba.iters,
+                                              huber_delta=cfg.ba.huber_delta,
+                                              use_pallas=False))
+    ba_variant("ba_xla_iters3",
+               ba_fn=lambda mm: run_window_ba(rig, mm, iters=3,
+                                              huber_delta=cfg.ba.huber_delta,
+                                              use_pallas=False))
+
     for k, v in results.items():
         print(f"{k:14s} {v:8.1f} f/s total @ {S} seqs", flush=True)
     print(json.dumps({"device": str(jax.devices()[0]), "S": S, "K": K,

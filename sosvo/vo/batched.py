@@ -105,9 +105,31 @@ def run_replay_ba_batched(
 
     `ba_fn` / `insert_fn` override the window solve / keyframe insertion
     per lane (bench ablation + distributed callers).
+
+    The WHOLE keyframe stage (insert + window solve + pose correction) sits
+    under ONE scalar `lax.cond` per scan step, OUTSIDE the vmap, with the
+    vmap inside each branch -- and the window-warmup decision (n_kf >= 2,
+    lane-uniform in lockstep) is likewise a scalar cond. The earlier
+    structure vmapped `step_ba_post` whole, which kept the outer cond alive
+    (unbatched predicate) but paid a measured ~0.12 ms/frame of structural
+    overhead even with insert AND solve stubbed out, and lowered the
+    per-lane n_kf cond to select (VERDICT r4 #3).
     """
-    from sosvo.vo.ba_pipeline import step_ba_post
+    from sosvo.frontend.match import metric_params
+    from sosvo.geom.lie import mat_inv
+    from sosvo.vo.ba_pipeline import BAState, BAStepOutput
+    from sosvo.vo.keyframes import insert_keyframe, run_window_ba
     from sosvo.vo.pipeline import apply_deferred_gate, step_full
+
+    metric, max_dist = metric_params(cfg.frontend)
+    ins = insert_fn if insert_fn is not None else insert_keyframe
+
+    def solve(mm):
+        if ba_fn is not None:
+            return ba_fn(mm)
+        return run_window_ba(rig, mm, iters=cfg.ba.iters,
+                             huber_delta=cfg.ba.huber_delta,
+                             use_pallas=cfg.ba.use_pallas_schur)
 
     def body(s, o):
         # Lanes are in lockstep: lane 0's frame counter IS the scalar frame.
@@ -118,10 +140,43 @@ def run_replay_ba_batched(
             lambda st, ob: step_full(rig, cfg, st, ob, defer_gate=True))(
             s.track, o)
         track2, out = apply_deferred_gate(cfg, T_world_old, track2, out, ctx)
-        return jax.vmap(lambda st, tr, ou, fe: step_ba_post(
-            rig, cfg, st, tr, ou, fe, is_kf_override=is_kf,
-            ba_fn=ba_fn, insert_fn=insert_fn))(
-            s, track2, out, feats)
+
+        def kf_stage(args):
+            maps, tr, fe = args
+            maps = jax.vmap(lambda m, Tw, f: ins(
+                m, Tw, f, frame,
+                max_new=cfg.ba.max_new,
+                match_max_distance=max_dist,
+                match_ratio=cfg.frontend.match_ratio,
+                metric=metric))(maps, tr.T_world, fe)
+
+            def run_ba(ms):
+                m2, cost = jax.vmap(solve)(ms)
+                return m2, cost
+
+            # Lockstep => n_kf is lane-uniform; one scalar warmup decision.
+            maps, cost = jax.lax.cond(
+                maps.n_kf[0] >= 2, run_ba,
+                lambda ms: (ms, jnp.zeros((tr.T_world.shape[0],),
+                                          jnp.float32)), maps)
+            T_w = jax.vmap(lambda m: mat_inv(m.kf_X[m.head]))(maps)
+            return maps, T_w, cost
+
+        def no_stage(args):
+            maps, tr, _ = args
+            S = tr.T_world.shape[0]
+            return maps, tr.T_world, jnp.zeros((S,), jnp.float32)
+
+        map2, T_w, cost = jax.lax.cond(is_kf, kf_stage, no_stage,
+                                       (s.map, track2, feats))
+        track2 = track2._replace(T_world=T_w)
+        out2 = BAStepOutput(
+            vo=out._replace(T_world=T_w),
+            is_keyframe=jnp.broadcast_to(is_kf, cost.shape),
+            ba_cost=cost,
+            n_landmarks=jnp.sum(map2.lm_valid.astype(jnp.int32), axis=-1),
+        )
+        return BAState(track=track2, map=map2), out2
 
     obs_fmajor = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs_seqs)  # (F, S, ...)
     final, outs = jax.lax.scan(body, states, obs_fmajor)
