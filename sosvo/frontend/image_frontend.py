@@ -12,14 +12,12 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from sosvo.frontend.descriptor import describe, describe_sift, orientation
 from sosvo.frontend.detect import detect, gaussian_smooth
 from sosvo.frontend.panorama import (PanoGeometry, build_pano_geometry,
-                                     pano_ray, warp_panorama,
-                                     warp_panorama_stacked)
+                                     pano_ray, warp_panorama)
 from sosvo.sensor.model import project
 from sosvo.sensor.rig import OmnistereoRig
 from sosvo.synth.scene import FrameObservations
@@ -134,40 +132,28 @@ def extract_observations(
             return uv, rays, desc, kps.valid & lut_ok
         raise AssertionError("run_view is the akaze-only path")
 
-    same_band = (
-        luts.top.height == luts.bottom.height
-        and luts.top.width == luts.bottom.width
-        and luts.top.min_elevation == luts.bottom.min_elevation
-        and luts.top.max_elevation == luts.bottom.max_elevation)
-    if cfg.descriptor == "akaze" or not same_band:
-        if cfg.descriptor == "akaze":
-            uv_t, ray_t, desc_t, ok_t = run_view(rig.top, luts.top)
-            uv_b, ray_b, desc_b, ok_b = run_view(rig.bottom, luts.bottom)
-        else:
-            # Hand-built LUTs with differing bands: sequential per-view path.
-            uv_t, ray_t, desc_t, ok_t = run_view_pano(
-                warp_panorama(image, luts.top), rig.top, luts.top.valid,
-                luts.top)
-            uv_b, ray_b, desc_b, ok_b = run_view_pano(
-                warp_panorama(image, luts.bottom), rig.bottom,
-                luts.bottom.valid, luts.bottom)
+    if cfg.descriptor == "akaze":
+        uv_t, ray_t, desc_t, ok_t = run_view(rig.top, luts.top)
+        uv_b, ray_b, desc_b, ok_b = run_view(rig.bottom, luts.bottom)
     else:
-        # BOTH views batched through one program (VERDICT r4 #7): the warp
-        # shares its quad tables and gathers both footprint sets at once,
-        # and the smooth/Harris/NMS/top-k/describe stream runs vmapped over
-        # the 2-view axis -- at pano sizes (~0.5 MB/op) per-kernel overhead
-        # is a large fraction of the extract wall, so one kernel stream for
-        # two views beats two sequential single-view streams.
-        panos = warp_panorama_stacked(image, (luts.top, luts.bottom))
-        views2 = jax.tree.map(lambda a, b: jnp.stack([jnp.asarray(a),
-                                                      jnp.asarray(b)]),
-                              rig.top, rig.bottom)
-        valid2 = jnp.stack([luts.top.valid, luts.bottom.valid])
-        uv2, ray2, desc2, ok2 = jax.vmap(
-            lambda p, v, gv: run_view_pano(p, v, gv, luts.top))(
-            panos, views2, valid2)
-        (uv_t, ray_t, desc_t, ok_t) = (uv2[0], ray2[0], desc2[0], ok2[0])
-        (uv_b, ray_b, desc_b, ok_b) = (uv2[1], ray2[1], desc2[1], ok2[1])
+        # SEQUENTIAL per-view streams, each warp fused with its consumers.
+        # VERDICT r4 #7's proposed restructures were MEASURED and rejected
+        # on v5e at the c2 config (scan-amortized, within one process):
+        #   - both views vmapped through one detect/describe program:
+        #     2.07 ms/frame vs 1.19 sequential (batched top-k/gather
+        #     lowerings lose more than halved launch overhead saves);
+        #   - shared-quad stacked warp + sequential detect: 1.78 vs 1.19
+        #     (the stacked gather forces materialization between warp and
+        #     smooth and a worse gather lowering).
+        # The per-view quad-gather warp already sits at the TPU per-index
+        # gather floor (BASELINE.md kernel table), so two fused per-view
+        # streams are the fastest known layout.
+        uv_t, ray_t, desc_t, ok_t = run_view_pano(
+            warp_panorama(image, luts.top), rig.top, luts.top.valid,
+            luts.top)
+        uv_b, ray_b, desc_b, ok_b = run_view_pano(
+            warp_panorama(image, luts.bottom), rig.bottom, luts.bottom.valid,
+            luts.bottom)
     return FrameObservations(
         uv_top=uv_t,
         uv_bottom=uv_b,

@@ -151,19 +151,11 @@ def _quad_tables(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([even.reshape(-1, 4), odd.reshape(-1, 4)])
 
 
-def warp_panorama_stacked(image: jnp.ndarray, geoms) -> jnp.ndarray:
-    """(V, H, W) panoramas of several views of the SAME raw image in ONE
-    gather: the quad tables are built once (they depend only on the image)
-    and every view's bilinear footprints fetch from them with stacked
-    indices -- the two-view extract's warp shares the restructure cost and
-    runs one kernel stream instead of two (VERDICT r4 #7)."""
-    quads = _quad_tables(image)
-    idx = jnp.stack([g.idx_r0 for g in geoms])        # (V, H, W)
-    fu = jnp.stack([g.fu for g in geoms])
-    fv = jnp.stack([g.fv for g in geoms])
-    valid = jnp.stack([g.valid for g in geoms])
-    q = jnp.take(quads, idx, axis=0)                  # (V, H, W, 4)
-    v0 = q[..., 0] * (1.0 - fu) + q[..., 1] * fu
-    v1 = q[..., 2] * (1.0 - fu) + q[..., 3] * fu
-    pano = v0 * (1.0 - fv) + v1 * fv
-    return jnp.where(valid, pano, 0.0)
+# NOTE (r5): a `warp_panorama_stacked` variant (quad tables built once, both
+# views' footprints fetched with stacked (2, H, W) indices) was measured
+# SLOWER on v5e at the c2 config -- 1.78 vs 1.19 ms/frame for the full
+# two-view extract: the stacked gather lowers worse and forces the warp
+# output to materialize instead of fusing into each view's smooth/detect
+# consumers. Two per-view warps (each at the per-index gather floor) fused
+# into their own streams remain the fastest known layout; see
+# image_frontend.extract_observations for the full measurement note.
