@@ -114,9 +114,13 @@ def test_pgo_optimizes_the_scans_adaptive_keyframe_set(monkeypatch):
         return real_solve(g, **kw)
 
     monkeypatch.setattr(lc, "pgo_solve", spy)
-    T_pgo, _ = lc.pgo_refine_trajectory(
-        rig_g, cfg, obs, outs.vo.T_world, min_gap=3, min_inliers=20,
-        max_candidates=4, kf_idx=kf_idx)
+    # pgo_refine_trajectory runs as ONE jitted program (r5 -- eager op
+    # chains were the measured long-c3 wall); disable jit here so the spy
+    # captures concrete arrays instead of tracers.
+    with jax.disable_jit():
+        T_pgo, _ = lc.pgo_refine_trajectory(
+            rig_g, cfg, obs, outs.vo.T_world, min_gap=3, min_inliers=20,
+            max_candidates=4, kf_idx=kf_idx)
 
     g = captured["g"]
     assert g.X.shape[0] == len(kf_idx)
