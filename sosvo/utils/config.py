@@ -139,6 +139,16 @@ class PipelineConfig:
     kf_trans_thresh: float = 0.06    # translation since last keyframe (m)
     kf_rot_thresh: float = 0.10      # rotation since last keyframe (rad)
     mode: str = "observations"       # "observations" (c1) or "images" (c2+)
+    relocalize: bool = True          # BA mode: on a lost frame (pose_ok
+                                     # False), match the frame's stereo
+                                     # features against the landmark MAP and
+                                     # re-acquire the absolute pose by 3D-3D
+                                     # RANSAC -- f2f identity-hold leaves a
+                                     # permanent offset once the rig moved
+                                     # through a dropout; the map removes it
+                                     # (tests/test_reloc.py). lax.cond-gated:
+                                     # tracked frames pay nothing.
+    reloc_min_inliers: int = 20      # map-match inliers to accept a reloc pose
     pose_graph: bool = False         # run PGO loop closing after replay (c3)
     loop_candidates: int = 0         # loop-detection candidate pairs: 0 = all
                                      # keyframe pairs, M > 0 = top-M by the

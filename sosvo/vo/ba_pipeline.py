@@ -74,6 +74,52 @@ def step_ba(
                         ba_fn=ba_fn, is_kf_override=is_kf_override)
 
 
+def try_relocalize(cfg: PipelineConfig, m, track, out, feats):
+    """Map-based pose re-acquisition on a lost frame (cond-gated).
+
+    Matches the current frame's stereo-triangulated features against the
+    landmark map and solves world->rig by 3D-3D RANSAC on the (world
+    landmark, rig-frame triangulation) pairs; on success the track pose and
+    the frame's pose_ok are overwritten. Fixed shapes throughout -- the map
+    descriptor table has L slots, the frame K, so the match is one L x K
+    Hamming (or L2) matrix exactly like keyframe association.
+    """
+    from sosvo.geometry.ransac import ransac_rigid
+    from sosvo.frontend.match import match
+
+    need = (~out.pose_ok) & (m.n_kf >= 1)
+
+    def attempt(args):
+        m, track, feats = args
+        metric, max_dist = metric_params(cfg.frontend)
+        mm = match(m.lm_desc, feats.desc, m.lm_valid, feats.valid,
+                   max_distance=max_dist, ratio=cfg.frontend.match_ratio,
+                   metric=metric)
+        pv = mm.valid & m.lm_valid & feats.valid[mm.idx_b]
+        key = jax.random.fold_in(track.key, 0x5e10c)
+        rr = ransac_rigid(
+            key, m.lm_pos, feats.pts_rig[mm.idx_b], pv,
+            rays_curr=feats.ray_top[mm.idx_b],
+            n_hyps=cfg.ransac.n_hyps,
+            angle_threshold=cfg.ransac.rigid_angle_threshold,
+            min_inliers=cfg.reloc_min_inliers,
+        )
+        T_w = mat_inv(rr.model)  # model: rig-from-world
+        return T_w, rr.ok, rr.num_inliers
+
+    def skip(args):
+        _, track, _ = args
+        return track.T_world, jnp.asarray(False), jnp.asarray(0, jnp.int32)
+
+    T_reloc, reloc_ok, n_inl = jax.lax.cond(need, attempt, skip,
+                                            (m, track, feats))
+    T_new = jnp.where(reloc_ok, T_reloc, track.T_world)
+    track = track._replace(T_world=T_new)
+    out = out._replace(T_world=T_new, pose_ok=out.pose_ok | reloc_ok,
+                       n_inliers=jnp.where(reloc_ok, n_inl, out.n_inliers))
+    return track, out
+
+
 def step_ba_post(
     rig: OmnistereoRig,
     cfg: PipelineConfig,
@@ -92,6 +138,18 @@ def step_ba_post(
     let the keyframe stage consume the post-gate pose -- a keyframe must
     never be inserted at a pose the gate is about to revert."""
     frame = track.frame_idx - 1  # index of the frame just processed
+
+    # --- relocalization (SURVEY.md C15 recovery; r5) -------------------
+    # A lost frame under pure f2f VO can only identity-hold; if the rig
+    # moved during the dropout the trajectory keeps a permanent offset.
+    # With a landmark map the ABSOLUTE pose is recoverable: match this
+    # frame's stereo features against the map descriptors, 3D-3D RANSAC
+    # the world-frame landmarks onto the rig-frame triangulations, accept
+    # on a strict inlier count. Runs BEFORE keyframing so a recovered pose
+    # (not the stale hold) is what gets keyframed. The cond predicate is
+    # False on every tracked frame, so the replay scan pays nothing then.
+    if cfg.relocalize:
+        track, out = try_relocalize(cfg, state.map, track, out, feats)
 
     if is_kf_override is not None:
         is_kf = is_kf_override

@@ -141,6 +141,23 @@ def run_replay_ba_batched(
             s.track, o)
         track2, out = apply_deferred_gate(cfg, T_world_old, track2, out, ctx)
 
+        if cfg.relocalize:
+            # Deferred-hoist (the apply_deferred_gate pattern): ONE scalar
+            # any-lane-lost decision per scan step; only then the vmapped
+            # map-match + RANSAC runs (as select inside, which is fine --
+            # the branch is rare and the scalar cond skips it entirely on
+            # healthy steps).
+            from sosvo.vo.ba_pipeline import try_relocalize
+
+            need_any = jnp.any((~out.pose_ok) & (s.map.n_kf >= 1))
+            track2, out = jax.lax.cond(
+                need_any,
+                lambda args: jax.vmap(
+                    lambda m, t, ou2, f: try_relocalize(cfg, m, t, ou2, f))(
+                    *args),
+                lambda args: (args[1], args[2]),
+                (s.map, track2, out, feats))
+
         def kf_stage(args):
             maps, tr, fe = args
             maps = jax.vmap(lambda m, Tw, f: ins(
