@@ -79,6 +79,60 @@ def main() -> int:
         assert x_diff < 1e-4, f"multihost sharded BA diverges: {x_diff}"
         assert c_diff < 1e-6 + 1e-3 * cost0, f"cost mismatch: {c_diff}"
         out.update({"x_diff_vs_single": x_diff, "parity": "OK"})
+
+    # --- P4-SP across processes: time-sharded PGO, ring-ppermute halos ---
+    # Node states shard along time over the GLOBAL mesh, so the odometry
+    # halo exchange and the loop-edge all_gather+psum cross the process
+    # boundary too.
+    from jax.sharding import Mesh, PartitionSpec as P
+    import numpy as np
+
+    from sosvo.backend.pose_graph import PoseGraph, pgo_solve
+    from sosvo.dist.pgo_time import TimeShardedGraph, pgo_solve_time_sharded
+
+    n_nodes, e_loop = 4 * n_global, 6
+    ang = jnp.linspace(0.0, 2 * jnp.pi, n_nodes, endpoint=False)
+    tang = jnp.stack([0 * ang, 0 * ang, ang, jnp.cos(ang), jnp.sin(ang),
+                      0.1 * jnp.sin(2 * ang)], -1).astype(jnp.float32)
+    X_gt = jax.vmap(se3_exp)(tang)
+    pert = 0.03 * jax.random.normal(jax.random.PRNGKey(5), (n_nodes, 6),
+                                    dtype=jnp.float32).at[0].set(0.0)
+    Xn = jnp.einsum("nij,njk->nik", jax.vmap(se3_exp)(pert), X_gt)
+    T_next = jnp.concatenate([X_gt[1:], X_gt[:1]])
+    T_odo = jnp.einsum("nij,njk->nik", T_next, jax.vmap(mat_inv)(X_gt))
+    w_odo = jnp.ones(n_nodes, jnp.float32).at[n_nodes - 1].set(0.0)
+    li = jnp.arange(n_nodes // 2, n_nodes // 2 + e_loop, dtype=jnp.int32)
+    lj = jnp.arange(0, e_loop, dtype=jnp.int32)
+    T_loop = jnp.einsum("nij,njk->nik", X_gt[li], jax.vmap(mat_inv)(X_gt[lj]))
+    g = TimeShardedGraph(X=Xn, node_valid=jnp.ones(n_nodes, bool),
+                         T_odo=T_odo, w_odo=w_odo, loop_i=li, loop_j=lj,
+                         T_loop=T_loop, w_loop=jnp.ones(e_loop, jnp.float32))
+    tmesh = Mesh(np.asarray(jax.devices()), ("time",))
+    res_t = pgo_solve_time_sharded(tmesh, "time", g, iters=6, cg_iters=60)
+    pgo_cost = float(res_t.cost)
+    out["pgo_cost"] = pgo_cost
+    if pid == 0:
+        g_flat = PoseGraph(
+            X=Xn, node_valid=jnp.ones(n_nodes, bool),
+            ei=jnp.concatenate([jnp.arange(1, n_nodes, dtype=jnp.int32), li]),
+            ej=jnp.concatenate([jnp.arange(0, n_nodes - 1, dtype=jnp.int32), lj]),
+            T_meas=jnp.concatenate([T_odo[:n_nodes - 1], T_loop]),
+            w=jnp.ones(n_nodes - 1 + e_loop, jnp.float32))
+        dense = pgo_solve(g_flat, iters=6)
+        # res_t.X is sharded over processes; compare the replicated COST and
+        # the locally-addressable node shard.
+        local_ids = [int(s.index[0].start or 0)
+                     for s in res_t.X.addressable_shards]
+        x_err = 0.0
+        for s in res_t.X.addressable_shards:
+            lo = s.index[0].start or 0
+            hi = s.index[0].stop or n_nodes
+            x_err = max(x_err, float(jnp.max(jnp.abs(
+                s.data - jax.device_get(dense.X[lo:hi])))))
+        assert float(res_t.cost) < 0.1 * float(res_t.cost0)
+        assert x_err < 3e-3, f"time-sharded PGO diverges cross-process: {x_err}"
+        out.update({"pgo_x_diff_local_shards": x_err, "pgo_parity": "OK",
+                    "pgo_local_node_blocks": local_ids})
     print(json.dumps(out), flush=True)
     return 0
 

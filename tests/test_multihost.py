@@ -59,3 +59,7 @@ def test_two_process_bootstrap_and_cross_process_ba():
     # Process 0's in-worker parity assertion ran.
     assert by_pid[0]["parity"] == "OK"
     assert by_pid[0]["x_diff_vs_single"] < 1e-4
+    # Time-sharded PGO (ring-ppermute halos ACROSS processes) also agreed
+    # with the dense single-device solver.
+    assert by_pid[0]["pgo_parity"] == "OK"
+    assert abs(by_pid[0]["pgo_cost"] - by_pid[1]["pgo_cost"]) < 1e-9
