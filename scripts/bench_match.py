@@ -7,6 +7,10 @@ N. Decides VERDICT round-1 item 1c: the kernel must beat XLA at real sizes or
 be retired with recorded numbers (BASELINE.md kernel table).
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import statistics
 import time

@@ -8,6 +8,10 @@ Umeyama/eigh refits, and the IRLS bearing refine -- so optimization effort
 lands where the microseconds are.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import statistics
 import time

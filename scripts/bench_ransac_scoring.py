@@ -7,6 +7,10 @@ remote-TPU tunnel). Decides whether `_bearing_neg_cos_hyps` /
 stay on the production path (BASELINE.md kernel table).
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import statistics
 import time

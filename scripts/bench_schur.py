@@ -6,6 +6,10 @@ time (558 us x 50 = 28 ms) was actually the ~26 ms tunnel RPC floor, not the
 kernel. REPS=2000 puts real device time >= 10x the RPC latency.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import statistics
 import time

@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Where does the matcher's time go? Amortized per-phase probes at K=512/2048."""
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import statistics
 import time

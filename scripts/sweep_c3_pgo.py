@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Why did PGO worsen c3's image-native ATE? Sweep loop-edge settings."""
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 
 import jax
