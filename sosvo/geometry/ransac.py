@@ -46,22 +46,32 @@ def sample_minimal_sets(key: jax.Array, valid: jnp.ndarray, n_hyps: int, set_siz
     toward near points whose triangulated depth is accurate -- while invalid
     slots stay excluded. None = uniform over valid slots.
 
-    PERF NOTE (r5): this is the most expensive sub-stage of the rigid
-    RANSAC (77 us of 333 at H=K=512 on v5e: (H, K) gumbel noise + a
-    per-hypothesis top_k), and a cheap inverse-CDF
-    cumsum-plus-searchsorted replacement was tried and REVERTED: sampling
-    WITH replacement under the depth-biased logits collapses hypothesis
-    diversity onto the few heaviest slots, and tracking robustness fell
-    from 4/4 to 1/6 sequences surviving at 1.0 px noise (0/6 at 2.0 px).
-    Without-replacement sampling is load-bearing; do not retry without a
-    noise-matrix sweep.
+    PERF NOTES (r5): sampling is the most expensive sub-stage of the rigid
+    RANSAC, and two rewrites were measured:
+      - an inverse-CDF cumsum+searchsorted sampler (WITH replacement) was
+        REVERTED: under the depth-biased logits it collapses hypothesis
+        diversity onto the few heaviest slots and tracking robustness fell
+        from 4/4 to 1/6 sequences at 1.0 px noise (0/6 at 2.0 px).
+        Without-replacement sampling is load-bearing; do not retry without
+        a noise-matrix sweep.
+      - `lax.top_k` over the (H, K) gumbel matrix lowers to a full row
+        sort; selecting the S winners by S unrolled argmax-and-mask passes
+        computes the IDENTICAL gumbel-top-k sample (same winners, same
+        descending order -- gumbel keys are a.s. distinct) at 66 vs 110 us
+        for (512, 512, S=3) and 109 vs 686 us at c3 scale
+        (1024, 2048): 6.3x. S is a small static int, so the passes unroll.
     """
     k = valid.shape[-1]
     base = jnp.zeros((k,), jnp.float32) if logits is None else logits
     logit = jnp.where(valid, base, -jnp.inf)
-    g = jax.random.gumbel(key, (n_hyps, k))
-    _, idx = jax.lax.top_k(logit[None, :] + g, set_size)
-    return idx.astype(jnp.int32)
+    g = logit[None, :] + jax.random.gumbel(key, (n_hyps, k))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_hyps, k), 1)
+    idxs = []
+    for _ in range(set_size):
+        i = jnp.argmax(g, axis=-1).astype(jnp.int32)
+        idxs.append(i)
+        g = jnp.where(cols == i[:, None], -jnp.inf, g)
+    return jnp.stack(idxs, axis=-1)
 
 
 def _select_best(residuals: jnp.ndarray, valid: jnp.ndarray, threshold: float):
