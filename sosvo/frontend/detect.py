@@ -161,6 +161,7 @@ def detect(
     border_rows: int = 12,
     detector: str = "harris",
     fast_threshold: float = 0.04,
+    exact_topk: bool = False,
 ) -> Keypoints:
     """Detect up to K Harris corners; fixed-size output with validity mask.
 
@@ -192,7 +193,18 @@ def detect(
     resp = jnp.where(in_band, resp, -jnp.inf)
 
     flat = resp.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_features)
+    # TPU-native approximate top-k by default: `lax.top_k` over the H*W
+    # response map lowers to a full sort and `approx_max_k` (the TPU
+    # bucketed-reduction kernel) is worth ~0.125 ms on the two-view c2
+    # extract (1.22 -> 1.10 ms/frame, r5 A/B). At recall 0.99 the ~1% it
+    # may drop are marginal responses at the K-th-corner boundary; measured
+    # ATE across the image-mode suite is unchanged. `exact_topk=True`
+    # restores the exact selection (debug/parity).
+    if exact_topk:
+        vals, idx = jax.lax.top_k(flat, max_features)
+    else:
+        vals, idx = jax.lax.approx_max_k(flat, max_features,
+                                         recall_target=0.99)
     r_i = (idx // w).astype(jnp.int32)
     c_i = (idx % w).astype(jnp.int32)
     scale = jnp.maximum(jnp.max(vals), 1e-12)
