@@ -144,7 +144,10 @@ def detect_akaze(pano: jnp.ndarray, max_features: int,
     in_band = (row_ids >= border_rows) & (row_ids < h - border_rows)
     resp_nms = jnp.where(in_band, resp_nms, -jnp.inf)
 
-    vals, idx = jax.lax.top_k(resp_nms.reshape(-1), max_features)
+    # approx_max_k for the same reason as detect.py's detection top-k
+    # (full-sort lowering vs the TPU bucketed-reduction kernel, r5).
+    vals, idx = jax.lax.approx_max_k(resp_nms.reshape(-1), max_features,
+                                     recall_target=0.99)
     r_i = (idx // w).astype(jnp.int32)
     c_i = (idx % w).astype(jnp.int32)
     scale = jnp.maximum(jnp.max(vals), 1e-12)
